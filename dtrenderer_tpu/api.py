@@ -1,0 +1,132 @@
+"""DTRenderer-shaped public API surface.
+
+Mirrors the reference's `DTRRender_*` call set and semantics (SURVEY.md §2 #4: Clear,
+Line, Rectangle, Circle, Bitmap, Text, Triangle, Mesh, with DTRRenderTransform
+{rotation, scale, anchor} on 2D primitives) so a user of the reference finds the same
+verbs here — but everything is functional: each call takes and returns a RenderState
+whose framebuffer lives on device, and a frame is just a Python function of
+(state, inputs) that JAX traces once and replays (the analog of the reference's
+hot-reloadable DTR_Update: state survives, code retraces — SURVEY.md §5
+"checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dtrenderer_tpu.ops import draw2d, fb as fblib, geometry, pipeline, text as textlib
+from dtrenderer_tpu.ops.fb import Framebuffer
+from dtrenderer_tpu.ops.raster_ref import rasterize_ref
+from dtrenderer_tpu.ops.shading import Light, make_light
+from dtrenderer_tpu.assets.font import Font, bake_builtin_font, encode_text
+from dtrenderer_tpu.ops.draw2d import Transform2D, transform2d
+
+__all__ = [
+    "RenderState", "Transform2D", "transform2d", "new_state", "clear",
+    "render_line", "render_rectangle", "render_circle", "render_bitmap",
+    "render_triangle", "render_mesh", "render_text", "finish_frame", "make_light",
+]
+
+
+class RenderState(NamedTuple):
+    """The per-frame render target (PlatformRenderBuffer + z-buffer analog)."""
+    fb: Framebuffer
+
+    @property
+    def width(self) -> int:
+        return self.fb.width
+
+    @property
+    def height(self) -> int:
+        return self.fb.height
+
+
+def new_state(width: int, height: int) -> RenderState:
+    return RenderState(fb=fblib.create(height, width))
+
+
+def clear(state: RenderState, color=(0, 0, 0, 1)) -> RenderState:
+    return state._replace(fb=fblib.clear(state.fb, jnp.asarray(color, jnp.float32)))
+
+
+def render_line(state: RenderState, p0, p1, color) -> RenderState:
+    return state._replace(fb=draw2d.line(state.fb, p0, p1, color))
+
+
+def render_rectangle(state: RenderState, min_xy, max_xy, color,
+                     transform: Transform2D | None = None) -> RenderState:
+    return state._replace(
+        fb=draw2d.fill_rect(state.fb, min_xy, max_xy, color, transform)
+    )
+
+
+def render_circle(state: RenderState, center, radius, color,
+                  filled: bool = True) -> RenderState:
+    f = draw2d.fill_circle if filled else draw2d.circle_outline
+    return state._replace(fb=f(state.fb, center, radius, color))
+
+
+def render_bitmap(state: RenderState, bitmap, pos,
+                  transform: Transform2D | None = None,
+                  sampling_mode: str = "nearest",
+                  tint=(1.0, 1.0, 1.0, 1.0)) -> RenderState:
+    return state._replace(
+        fb=draw2d.blit(state.fb, bitmap, pos, transform, sampling_mode, tint)
+    )
+
+
+def render_text(state: RenderState, s, pos, color=(1, 1, 1, 1),
+                font: Font | None = None, scale: int = 1) -> RenderState:
+    font = font or bake_builtin_font(12)
+    codes = encode_text(s) if isinstance(s, str) else s
+    return state._replace(
+        fb=textlib.draw_text(state.fb, font, codes, pos, color, scale)
+    )
+
+
+def render_triangle(state: RenderState, p0, p1, p2, color,
+                    cull_backfaces: bool = False) -> RenderState:
+    """DTRRender_Triangle analog for direct screen-space triangles.
+
+    p0..p2: (x, y) or (x, y, z[, q]) screen coords; z defaults to 0.5, q to 1.
+    Depth-tested against the state's z-buffer; flat color, alpha blended.
+    """
+    fb = state.fb
+    h, w = fb.depth.shape
+
+    corners = []
+    for p in (p0, p1, p2):
+        p = list(p)
+        while len(p) < 4:
+            p.append({2: 0.5, 3: 1.0}[len(p)])
+        corners.append(p[:4])
+    c = jnp.asarray(corners, jnp.float32)  # [3, 4]
+    setup = geometry.triangle_setup_from_corners(
+        c[0:1], c[1:2], c[2:3], w, h, cull_backfaces
+    )
+    z, tri = rasterize_ref(setup.coef, setup.valid, h, w)
+    win = (tri >= 0) & (z < fb.depth)
+    src = jnp.asarray(color, jnp.float32)
+    from dtrenderer_tpu.utils.color import blend_over
+
+    blended = blend_over(jnp.broadcast_to(src, fb.color.shape), fb.color)
+    return state._replace(
+        fb=Framebuffer(
+            color=jnp.where(win[..., None], blended, fb.color),
+            depth=jnp.where(win, z, fb.depth),
+        )
+    )
+
+
+def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs) -> RenderState:
+    """DTRRender_Mesh analog; kwargs forwarded to ops.pipeline.draw_mesh."""
+    return state._replace(
+        fb=pipeline.draw_mesh(state.fb, mesh, model, view_proj, **kwargs)
+    )
+
+
+def finish_frame(state: RenderState) -> jnp.ndarray:
+    """Pack to display sRGB u8 [H, W, 4] (the StretchDIBits-blit analog)."""
+    return fblib.pack(state.fb)

@@ -1,0 +1,92 @@
+"""Font atlas baking (host-side asset prep).
+
+Counterpart of the reference's `DTRAsset_LoadFontToBitmap` (SURVEY.md §2 #5: bake TTF
+glyph atlas via stb_truetype into a DTRFont {bitmap, glyph metrics}). Here the atlas is
+a monospace ASCII grid (16 cols x 6 rows covering codes 32..126) baked host-side once
+and uploaded as a coverage (alpha) texture; the device-side text op (ops/text.py)
+renders strings as pure gathers from the atlas with no per-glyph host loop.
+
+Baking uses PIL with a real TTF when available (DejaVu Sans Mono via matplotlib's
+bundled fonts) and falls back to PIL's built-in bitmap font; a from-scratch native TTF
+rasterizer is planned for the dtr_native extension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+FIRST_CHAR = 32
+LAST_CHAR = 126
+GRID_COLS = 16
+GRID_ROWS = 6  # 95 glyphs -> 6 rows of 16
+
+
+class Font(NamedTuple):
+    atlas: jnp.ndarray  # f32 [GRID_ROWS*cell_h, GRID_COLS*cell_w] glyph coverage
+    cell_w: int
+    cell_h: int
+
+
+def _find_mono_ttf() -> str | None:
+    try:
+        import matplotlib.font_manager as fm
+
+        for f in fm.fontManager.ttflist:
+            if f.name == "DejaVu Sans Mono" and f.fname.endswith(".ttf"):
+                return f.fname
+        return fm.findfont("monospace")
+    except Exception:
+        return None
+
+
+@functools.lru_cache(maxsize=8)
+def bake_builtin_font(size: int = 14) -> Font:
+    """Bake the default monospace atlas at the given pixel size."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    ttf = _find_mono_ttf()
+    if ttf is not None:
+        try:
+            pil_font = ImageFont.truetype(ttf, size)
+        except Exception:
+            pil_font = ImageFont.load_default()
+    else:
+        pil_font = ImageFont.load_default()
+
+    # Measure the widest glyph cell.
+    probe = Image.new("L", (4 * size, 4 * size), 0)
+    d = ImageDraw.Draw(probe)
+    max_w, max_h = 1, 1
+    ascent = 0
+    try:
+        ascent, descent = pil_font.getmetrics()
+        max_h = ascent + descent
+    except Exception:
+        pass
+    for code in range(FIRST_CHAR, LAST_CHAR + 1):
+        bbox = d.textbbox((0, 0), chr(code), font=pil_font)
+        max_w = max(max_w, bbox[2])
+        max_h = max(max_h, bbox[3])
+    cell_w, cell_h = int(max_w), int(max_h)
+
+    img = Image.new("L", (GRID_COLS * cell_w, GRID_ROWS * cell_h), 0)
+    d = ImageDraw.Draw(img)
+    for code in range(FIRST_CHAR, LAST_CHAR + 1):
+        idx = code - FIRST_CHAR
+        cx = (idx % GRID_COLS) * cell_w
+        cy = (idx // GRID_COLS) * cell_h
+        d.text((cx, cy), chr(code), fill=255, font=pil_font)
+
+    atlas = np.asarray(img, np.float32) / np.float32(255.0)
+    return Font(atlas=jnp.asarray(atlas), cell_w=cell_w, cell_h=cell_h)
+
+
+def encode_text(s: str) -> np.ndarray:
+    """String -> i32 glyph codes (unknown chars -> space)."""
+    codes = np.frombuffer(s.encode("ascii", errors="replace"), dtype=np.uint8)
+    codes = np.where((codes < FIRST_CHAR) | (codes > LAST_CHAR), FIRST_CHAR, codes)
+    return codes.astype(np.int32)

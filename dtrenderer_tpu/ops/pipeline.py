@@ -1,0 +1,196 @@
+"""The 3D draw-call pipeline: vertex transform -> setup -> visibility raster ->
+deferred shade/blend.
+
+TPU-native counterpart of the reference's `DTRRender_Mesh` + `DTRRender_Triangle`
+(SURVEY.md CS-2). The reference shades inside the per-pixel z-test loop; on TPU the
+pipeline is split into a visibility pass (raster_ref / raster_pallas -> depth + winning
+triangle id per pixel) and a deferred pass that gathers the winning triangle's attribute
+planes, recomputes barycentrics with the shared coverage evaluator, interpolates
+perspective-correctly, samples the texture, applies lighting, and blends — all fused
+elementwise/gather work that XLA maps onto the VPU. Because the winning fragment is
+unique per pixel, the two-phase split is exactly equivalent to the reference's
+forward loop for opaque geometry (FORMULAS.md depth/interp contracts).
+
+Attribute-plane layout f32 [T, 3, 16] (corner-major; all attrs premultiplied by q):
+  0:q  1:u*q 2:v*q  3:r*q 4:g*q 5:b*q 6:a*q  7:nx*q 8:ny*q 9:nz*q  10..15: pad
+(colors are premultiplied-alpha linear; for flat/gouraud the light term is baked into
+the corner colors, for phong the normal channels drive per-pixel lighting.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dtrenderer_tpu.ops import geometry, sampling
+from dtrenderer_tpu.ops.fb import Framebuffer
+from dtrenderer_tpu.ops.geometry import coverage_and_depth, interp
+from dtrenderer_tpu.ops.raster_ref import rasterize_ref
+from dtrenderer_tpu.ops.shading import (
+    SHADING_FLAT,
+    SHADING_GOURAUD,
+    SHADING_NONE,
+    SHADING_PHONG,
+    Light,
+    apply_light,
+    light_term,
+)
+from dtrenderer_tpu.utils.color import blend_over
+from dtrenderer_tpu.utils.math3d import homogenize, transform_directions, transform_points
+
+F32 = jnp.float32
+
+ATTR_CHANNELS = 16
+
+
+def build_attrs(screen, mesh, model, normal_mat, light: Light, color, shading: str):
+    """Per-triangle, per-corner attribute planes [T, 3, 16] (layout above)."""
+    faces = mesh.faces
+    q = screen[faces][:, :, 3]  # [T, 3]
+    uvq = mesh.uv[faces] * q[..., None]  # [T, 3, 2]
+    color = jnp.asarray(color, F32)
+
+    world = transform_points(homogenize(mesh.verts), model)[..., :3]
+    wnormals = transform_directions(mesh.normals, normal_mat)
+
+    T = faces.shape[0]
+    zeros3 = jnp.zeros((T, 3, 3), F32)
+    if shading == SHADING_FLAT:
+        w0 = world[faces[:, 0]]
+        w1 = world[faces[:, 1]]
+        w2 = world[faces[:, 2]]
+        face_n = jnp.cross(w1 - w0, w2 - w0)  # [T, 3]
+        term = light_term(face_n, light)  # [T]
+        corner_rgba = apply_light(
+            jnp.broadcast_to(color, (T, 3, 4)), term[:, None]
+        )
+        nq = zeros3
+    elif shading == SHADING_GOURAUD:
+        vterm = light_term(wnormals[faces], light)  # [T, 3]
+        corner_rgba = apply_light(jnp.broadcast_to(color, (T, 3, 4)), vterm)
+        nq = zeros3
+    elif shading == SHADING_PHONG:
+        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
+        nq = wnormals[faces] * q[..., None]
+    elif shading == SHADING_NONE:
+        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
+        nq = zeros3
+    else:
+        raise ValueError(f"unknown shading mode {shading!r}")
+
+    rgbaq = corner_rgba * q[..., None]
+    pad = jnp.zeros((T, 3, ATTR_CHANNELS - 10), F32)
+    return jnp.concatenate([q[..., None], uvq, rgbaq, nq, pad], axis=-1)
+
+
+def shade_deferred(
+    fb: Framebuffer,
+    z,
+    tri,
+    coef,
+    attrs,
+    texture,
+    sampling_mode: str,
+    shading_mode: str,
+    light: Light,
+    y_offset=0,
+    x_offset=0,
+):
+    """Deferred pass: shade winning fragments and merge into the framebuffer."""
+    h, w = fb.depth.shape
+    win = (tri >= 0) & (z < fb.depth)
+    t = jnp.maximum(tri, 0)
+
+    c = coef[t]  # [H, W, 16]
+    a = attrs[t]  # [H, W, 3, 16]
+    px = (jnp.arange(w, dtype=F32) + (F32(0.5) + jnp.asarray(x_offset, F32)))[None, :]
+    py = (jnp.arange(h, dtype=F32) + (F32(0.5) + jnp.asarray(y_offset, F32)))[:, None]
+    _, _, b = coverage_and_depth(c, px, py)
+    b = tuple(bb[..., None] for bb in b)
+    ip = interp(b, a[:, :, 0, :], a[:, :, 1, :], a[:, :, 2, :])  # [H, W, 16]
+
+    qf = ip[..., 0]
+    inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
+    u = ip[..., 1] * inv_qf
+    v = ip[..., 2] * inv_qf
+    rgba = ip[..., 3:7] * inv_qf[..., None]
+
+    texel = sampling.sample(texture, u, v, sampling_mode)
+    src = texel * rgba
+
+    if shading_mode == SHADING_PHONG:
+        n = ip[..., 7:10] * inv_qf[..., None]
+        term = light_term(n, light)
+        src = apply_light(src, term)
+
+    blended = blend_over(src, fb.color)
+    new_color = jnp.where(win[..., None], blended, fb.color)
+    new_depth = jnp.where(win, z, fb.depth)
+    return Framebuffer(color=new_color, depth=new_depth)
+
+
+def draw_mesh(
+    fb: Framebuffer,
+    mesh,
+    model,
+    view_proj,
+    texture=None,
+    light: Light | None = None,
+    color=(1.0, 1.0, 1.0, 1.0),
+    shading: str = SHADING_GOURAUD,
+    sampling_mode: str = "nearest",
+    cull_backfaces: bool = True,
+    normal_mat=None,
+    backend: str = "ref",
+    mvp=None,
+    frame_height=None,
+    frame_width=None,
+    y_offset=0,
+    x_offset=0,
+):
+    """Render one mesh draw call into the framebuffer (DTRRender_Mesh analog).
+
+    model: [4,4] model->world; view_proj: [4,4] world->clip. normal_mat defaults to
+    the model upper-3x3 (exact for rigid + uniform scale; pass inverse-transpose for
+    non-uniform scales). backend: "ref" (pure jnp) or "pallas" (tiled kernel).
+
+    When fb is a shard (a band/tile of a larger frame, parallel/shard.py), pass the
+    FULL frame dims via frame_height/frame_width (static) and this shard's origin via
+    y_offset/x_offset (traced scalars ok): the viewport transform uses the full-frame
+    dims while rasterization/shading cover only this shard's pixels.
+    """
+    from dtrenderer_tpu.ops.shading import make_light
+
+    h, w = fb.depth.shape
+    fh = frame_height if frame_height is not None else h
+    fw = frame_width if frame_width is not None else w
+    if light is None:
+        light = make_light()
+    if texture is None:
+        texture = jnp.ones((1, 1, 4), F32)
+    if normal_mat is None:
+        normal_mat = model
+
+    if mvp is None:
+        mvp = view_proj @ model
+    screen = geometry.vertex_transform(mesh.verts, mvp, fw, fh)
+    setup = geometry.triangle_setup(screen, mesh.faces, fw, fh, cull_backfaces)
+    attrs = build_attrs(screen, mesh, model, normal_mat, light, color, shading)
+
+    if backend == "ref":
+        z, tri = rasterize_ref(
+            setup.coef, setup.valid, h, w, y_offset=y_offset, x_offset=x_offset
+        )
+    elif backend == "pallas":
+        from dtrenderer_tpu.ops.raster_pallas import rasterize_pallas
+
+        z, tri = rasterize_pallas(
+            setup.coef, setup.bbox, setup.valid, h, w,
+            y_offset=y_offset, x_offset=x_offset,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return shade_deferred(
+        fb, z, tri, setup.coef, attrs, texture, sampling_mode, shading, light,
+        y_offset=y_offset, x_offset=x_offset,
+    )

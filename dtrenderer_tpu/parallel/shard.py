@@ -1,0 +1,143 @@
+"""Multi-chip parallel rendering: framebuffer-domain decomposition over a JAX mesh.
+
+TPU-native replacement for the reference's ONLY parallel mechanism — the Win32
+worker-thread job queue that spreads per-region rasterization jobs across cores
+(SURVEY.md §2 "P-THREAD", CS-5). On TPU the framebuffer itself is the parallel axis:
+each device owns a horizontal band (or a (row, col) tile on a 2D mesh) of the frame,
+rasterizes the replicated scene against just its pixels via shard_map, and shades
+locally. Pixel ownership is disjoint, so no inter-device reduction is needed for
+z-buffering; assembling the display image is a single all-gather over ICI (implicit in
+the output sharding). A leading batch-of-frames axis ("frames") gives the
+data-parallel analog: independent frames on independent device groups.
+
+Axes:
+  "frames" — data parallel over a batch of frames (optional leading axis)
+  "rows"   — spatial decomposition of the framebuffer into row bands
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dtrenderer_tpu.ops import pipeline
+from dtrenderer_tpu.ops.fb import Framebuffer
+
+
+def make_mesh(frames: int = 1, rows: int | None = None,
+              devices: Sequence[jax.Device] | None = None) -> DeviceMesh:
+    """Build a ("frames", "rows") device mesh. rows defaults to n_devices//frames."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if rows is None:
+        rows = n // frames
+    assert frames * rows == n, f"mesh {frames}x{rows} != {n} devices"
+    dev_array = np.array(devices).reshape(frames, rows)
+    return DeviceMesh(dev_array, ("frames", "rows"))
+
+
+def create_sharded_fb(height: int, width: int, mesh: DeviceMesh,
+                      batch: int | None = None) -> Framebuffer:
+    """Framebuffer whose rows are sharded over the mesh's "rows" axis.
+
+    With batch != None, a leading frames axis sharded over "frames".
+    """
+    if batch is None:
+        cspec = NamedSharding(mesh, P("rows", None, None))
+        dspec = NamedSharding(mesh, P("rows", None))
+        color = jnp.zeros((height, width, 4), jnp.float32, device=cspec)
+        depth = jnp.full((height, width), jnp.inf, jnp.float32, device=dspec)
+    else:
+        cspec = NamedSharding(mesh, P("frames", "rows", None, None))
+        dspec = NamedSharding(mesh, P("frames", "rows", None))
+        color = jnp.zeros((batch, height, width, 4), jnp.float32, device=cspec)
+        depth = jnp.full((batch, height, width), jnp.inf, jnp.float32, device=dspec)
+    return Framebuffer(color=color, depth=depth)
+
+
+def draw_mesh_sharded(fb: Framebuffer, mesh_obj, model, view_proj,
+                      device_mesh: DeviceMesh, **kwargs) -> Framebuffer:
+    """draw_mesh over a row-sharded framebuffer (single frame).
+
+    Scene inputs (mesh/model/textures/light) are replicated; each device runs the
+    full vertex pipeline (cheap) and rasterizes + shades only its band.
+    """
+    n_rows = device_mesh.shape["rows"]
+    height, width = fb.depth.shape
+    assert height % n_rows == 0, f"height {height} not divisible by {n_rows} bands"
+    band_h = height // n_rows
+
+    def band_fn(color_b, depth_b):
+        y0 = jax.lax.axis_index("rows") * band_h
+        out = pipeline.draw_mesh(
+            Framebuffer(color=color_b, depth=depth_b),
+            mesh_obj, model, view_proj,
+            frame_height=height, frame_width=width, y_offset=y0,
+            **kwargs,
+        )
+        return out.color, out.depth
+
+    color, depth = shard_map(
+        band_fn,
+        mesh=device_mesh,
+        in_specs=(P("rows", None, None), P("rows", None)),
+        out_specs=(P("rows", None, None), P("rows", None)),
+        check_rep=False,
+    )(fb.color, fb.depth)
+    return Framebuffer(color=color, depth=depth)
+
+
+def render_frames_sharded(render_band_fn, fb: Framebuffer,
+                          device_mesh: DeviceMesh, frame_args) -> Framebuffer:
+    """Batched multi-frame render: "frames" data-parallel x "rows" spatial.
+
+    render_band_fn(band_fb, frame_arg, y0, frame_h, frame_w) -> band_fb must be a
+    pure per-band frame function (it can call pipeline.draw_mesh with the given
+    offsets). fb: batched sharded framebuffer from create_sharded_fb(batch=...).
+    frame_args: pytree whose leaves have a leading [batch] axis (per-frame params,
+    e.g. rotation angles) — sharded over "frames".
+    """
+    n_rows = device_mesh.shape["rows"]
+    n_frames = device_mesh.shape["frames"]
+    batch, height, width = fb.depth.shape
+    assert height % n_rows == 0 and batch % n_frames == 0
+    band_h = height // n_rows
+
+    def shard_fn(color_b, depth_b, args_b):
+        y0 = jax.lax.axis_index("rows") * band_h
+
+        def one_frame(color_1, depth_1, args_1):
+            out = render_band_fn(
+                Framebuffer(color=color_1, depth=depth_1),
+                args_1, y0, height, width,
+            )
+            return out.color, out.depth
+
+        color_o, depth_o = jax.vmap(one_frame)(color_b, depth_b, args_b)
+        return color_o, depth_o
+
+    arg_specs = jax.tree.map(lambda _: P("frames"), frame_args)
+    color, depth = shard_map(
+        shard_fn,
+        mesh=device_mesh,
+        in_specs=(
+            P("frames", "rows", None, None),
+            P("frames", "rows", None),
+            arg_specs,
+        ),
+        out_specs=(P("frames", "rows", None, None), P("frames", "rows", None)),
+        check_rep=False,
+    )(fb.color, fb.depth, frame_args)
+    return Framebuffer(color=color, depth=depth)
+
+
+def gather_image(fb: Framebuffer) -> np.ndarray:
+    """Assemble the full frame on host (final ICI all-gather + DCN fetch)."""
+    return np.asarray(jax.device_get(fb.color))

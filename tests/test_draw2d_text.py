@@ -1,0 +1,133 @@
+"""Tests for the 2D layer (line/rect/circle/blit/text) — reference parity semantics:
+painter's order, premultiplied source-over, Transform2D rotation/scale/anchor."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu.ops import draw2d, fb as fblib
+from dtrenderer_tpu.ops.text import draw_text
+from dtrenderer_tpu.assets.font import bake_builtin_font, encode_text
+from dtrenderer_tpu.utils.color import rgba
+
+
+def _fb(h=48, w=64, clear=(0, 0, 0, 1)):
+    return fblib.clear(fblib.create(h, w), jnp.asarray(clear, jnp.float32))
+
+
+def test_fill_rect_axis_aligned():
+    fb = draw2d.fill_rect(_fb(), (10, 8), (30, 20), rgba(1, 0, 0, 1))
+    c = np.asarray(fb.color)
+    assert np.allclose(c[8:20, 10:30, 0], 1.0)
+    assert np.allclose(c[8:20, 10:30, 1], 0.0)
+    assert np.allclose(c[:8, :, 0], 0.0)
+    assert np.allclose(c[20:, :, 0], 0.0)
+    assert np.allclose(c[8:20, :10, 0], 0.0)
+
+
+def test_rect_alpha_blend_painters_order():
+    fb = _fb()
+    fb = draw2d.fill_rect(fb, (5, 5), (40, 40), rgba(1, 0, 0, 1))
+    fb = draw2d.fill_rect(fb, (20, 20), (60, 44), rgba(0, 0, 1, 0.5))
+    c = np.asarray(fb.color)
+    # overlap region: 0.5 blue over red -> r=0.5, b=0.5 (premultiplied)
+    assert np.allclose(c[30, 30], [0.5, 0.0, 0.5, 1.0], atol=1e-6)
+    assert np.allclose(c[10, 10], [1.0, 0.0, 0.0, 1.0], atol=1e-6)
+    # blue-only region over black
+    assert np.allclose(c[42, 50], [0.0, 0.0, 0.5, 1.0], atol=1e-6)
+
+
+def test_rect_rotation_90deg():
+    # A wide rect rotated 90deg about its center becomes tall.
+    t = draw2d.transform2d(rotation=np.pi / 2, anchor=(0.5, 0.5))
+    fb = draw2d.fill_rect(_fb(64, 64), (22, 28), (42, 36), rgba(0, 1, 0, 1), t)
+    c = np.asarray(fb.color)
+    on = c[..., 1] > 0.5
+    ys, xs = np.nonzero(on)
+    hgt = ys.max() - ys.min() + 1
+    wid = xs.max() - xs.min() + 1
+    assert hgt > wid, f"rotation failed: h={hgt} w={wid}"
+    assert abs(hgt - 20) <= 2 and abs(wid - 8) <= 2
+
+
+def test_line_dda_horizontal_vertical_diag():
+    fb = draw2d.line(_fb(), (5, 10), (40, 10), rgba(1, 1, 1, 1))
+    c = np.asarray(fb.color)
+    assert (c[10, 5:40, 0] > 0.9).all()
+    assert c[11, 20, 0] == 0 and c[9, 20, 0] == 0
+
+    fb = draw2d.line(_fb(), (12, 4), (12, 30), rgba(1, 1, 1, 1))
+    c = np.asarray(fb.color)
+    assert (c[4:30, 12, 0] > 0.9).all()
+
+    fb = draw2d.line(_fb(), (0, 0), (32, 32), rgba(1, 1, 1, 1))
+    c = np.asarray(fb.color)
+    d = np.diagonal(c[..., 0])[:32]
+    assert (d > 0.9).all()
+
+
+def test_circle_filled():
+    fb = draw2d.fill_circle(_fb(64, 64), (32, 32), 10, rgba(1, 1, 0, 1))
+    c = np.asarray(fb.color)
+    assert c[32, 32, 0] > 0.9
+    assert c[32, 41, 0] > 0.9  # dist 9 < 10 (pixel center 41.5 -> 9.5 < 10)
+    assert c[32, 44, 0] == 0
+    area = (c[..., 0] > 0.5).sum()
+    assert abs(area - np.pi * 100) < 40
+
+
+def test_blit_nearest_identity():
+    bmp = np.zeros((8, 8, 4), np.float32)
+    bmp[:, :, 3] = 1.0
+    bmp[2, 3] = [1, 0, 0, 1]
+    fb = draw2d.blit(_fb(), jnp.asarray(bmp), (10, 20))
+    c = np.asarray(fb.color)
+    assert np.allclose(c[22, 13], [1, 0, 0, 1]), c[20:28, 10:18, 0]
+    # outside the blit untouched
+    assert np.allclose(c[22, 30], [0, 0, 0, 1])
+
+
+def test_blit_scale2x():
+    bmp = np.zeros((4, 4, 4), np.float32)
+    bmp[:, :, 3] = 1.0
+    bmp[0, 0] = [0, 1, 0, 1]
+    t = draw2d.transform2d(scale=2.0, anchor=(0.0, 0.0))
+    fb = draw2d.blit(_fb(), jnp.asarray(bmp), (8, 8), t)
+    c = np.asarray(fb.color)
+    # top-left texel covers a 2x2 pixel block
+    assert (c[8:10, 8:10, 1] > 0.9).all()
+    assert c[8, 11, 1] == 0
+
+
+def test_text_renders_visible_glyphs():
+    font = bake_builtin_font(12)
+    fb = draw_text(_fb(48, 128), font, encode_text("Hi !"), (4, 4),
+                   (1.0, 1.0, 1.0, 1.0))
+    c = np.asarray(fb.color)
+    assert (c[..., 0] > 0.5).sum() > 20, "no glyph coverage rendered"
+    # Space column (index 2) mostly empty
+    x0 = 4 + 2 * font.cell_w
+    sp = c[4:4 + font.cell_h, x0:x0 + font.cell_w, 0]
+    assert (sp > 0.5).sum() == 0
+
+
+def test_text_dynamic_codes_no_retrace():
+    import jax
+
+    font = bake_builtin_font(12)
+    traces = 0
+
+    @jax.jit
+    def frame(fb_color, fb_depth, codes):
+        nonlocal traces
+        traces += 1
+        from dtrenderer_tpu.ops.fb import Framebuffer
+
+        out = draw_text(Framebuffer(fb_color, fb_depth), font, codes, (2, 2),
+                        (1, 1, 1, 1))
+        return out.color
+
+    fb = _fb(32, 96)
+    a = frame(fb.color, fb.depth, jnp.asarray(encode_text("fps 60.0")))
+    b = frame(fb.color, fb.depth, jnp.asarray(encode_text("fps 59.9")))
+    assert traces == 1, "HUD text change must not retrace"
+    assert not np.allclose(np.asarray(a), np.asarray(b)), "different text, same pixels"
