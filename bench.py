@@ -1,0 +1,93 @@
+"""Headline benchmark: shaded fill rate at 1080p through the full pipeline
+(Pallas raster + deferred perspective-correct textured Phong shading).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: BASELINE.md's north star is >= 1 Gpixel/s shaded fill on a v5e-8;
+this runs on ONE chip, so baseline share = 1e9/8 = 125 Mpix/s per chip.
+vs_baseline = measured Mpix/s / 125 (>= 1.0 beats the per-chip target share).
+
+Timing uses utils/benchlib.device_time (device-side loop; wall-clock dispatch and
+tunnel fetches are excluded — see benchlib docstring for why that is required on
+this platform).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import draw_mesh
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    on_tpu = jax.default_backend() == "tpu"
+    h, w = 1080, 1920
+    if not on_tpu:
+        h, w = 120, 256  # smoke-test size off-TPU
+    print(f"bench: backend={jax.default_backend()} frame={w}x{h}", file=sys.stderr)
+
+    # Config-4 style scene: multi-mesh, textured, perspective-correct, Phong.
+    # A dense sphere grid covering most of the frame -> high shaded coverage.
+    sphere = primitives.uv_sphere(24, 32)
+    tex = primitives.checkerboard(64, 8)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    models = [
+        jnp.asarray(m3.model_matrix((x, y, -3.2), m3.rotate_y(0.3 * (x + y)), 1.05))
+        for x in (-1.2, 0.0, 1.2)
+        for y in (-0.7, 0.7)
+    ]
+
+    backend = "pallas"
+
+    def frame(color, depth, t):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+        for i, mdl in enumerate(models):
+            fb = draw_mesh(
+                fb, sphere, mdl, proj, texture=tex, light=light,
+                shading="phong", sampling_mode="bilinear", backend=backend,
+            )
+        return fb.color, fb.depth
+
+    fb0 = fblib.create(h, w)
+    t = jnp.float32(0.5)
+
+    # Shaded-pixel count for the fill-rate numerator (covered pixels per frame).
+    cjit = jax.jit(frame)
+    color, depth = cjit(fb0.color, fb0.depth, t)
+    covered = int(np.asarray(jnp.sum(jnp.isfinite(depth)).astype(jnp.int32)))
+    n_tris = len(models) * sphere.num_tris
+    print(f"bench: covered {covered/1e6:.2f} Mpix, {n_tris} tris/frame",
+          file=sys.stderr)
+
+    dt = device_time(frame, fb0.color, fb0.depth, t, iters=12)
+    mpix_s = covered / dt / 1e6
+    tris_s = n_tris / dt / 1e6
+    print(f"bench: {dt*1000:.2f} ms/frame, {mpix_s:.0f} Mpix/s shaded, "
+          f"{tris_s:.1f} Mtris/s", file=sys.stderr)
+
+    per_chip_target = 1e9 / 8 / 1e6  # 125 Mpix/s
+    print(json.dumps({
+        "metric": "shaded_fill_rate_1080p_single_chip",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / per_chip_target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""The five BASELINE benchmark scenes + the demo scene, as jittable frame functions.
+
+These are the rebuild's analog of the reference's demo app content (SURVEY.md §2 #3)
+AND its benchmark suite (BASELINE.md configs):
+  1. single flat-shaded triangle, 800x600
+  2. textured spinning cube, z-buffered, nearest, 800x600
+  3. ~5k-tri OBJ (data/head.obj), Gouraud + bilinear
+  4. multi-mesh, perspective-correct + per-pixel Phong, 1080p
+  5. 1M-triangle stress soup, tiled raster, 4K (shard across the device mesh)
+
+Each make_configN() returns a SceneSpec whose frame(color, depth, t) is pure and
+jittable (the DTR_Update analog).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu.models import primitives
+from dtrenderer_tpu.ops import fb as fblib
+from dtrenderer_tpu.ops.fb import Framebuffer
+from dtrenderer_tpu.ops.pipeline import draw_mesh
+from dtrenderer_tpu.ops.shading import make_light
+from dtrenderer_tpu.utils import math3d as m3
+
+F32 = jnp.float32
+
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+)
+
+
+class SceneSpec(NamedTuple):
+    name: str
+    width: int
+    height: int
+    n_tris: int
+    frame: Callable  # frame(color, depth, t) -> (color, depth)
+
+
+def _clear(color, depth, rgba):
+    return fblib.clear(Framebuffer(color, depth), jnp.asarray(rgba, F32))
+
+
+def _head_mesh():
+    from dtrenderer_tpu.assets.obj import load_obj
+
+    return load_obj(os.path.join(_DATA_DIR, "head.obj"))
+
+
+def _head_texture():
+    from dtrenderer_tpu.assets.image import load_bitmap
+
+    path = os.path.join(_DATA_DIR, "texture.png")
+    if os.path.exists(path):
+        return load_bitmap(path)
+    return primitives.gradient_texture(128)
+
+
+def make_config1(width=800, height=600, backend="pallas") -> SceneSpec:
+    """Single flat-shaded triangle into an 800x600 RGBA framebuffer."""
+    verts = np.array(
+        [[-0.7, -0.6, 0.0], [0.7, -0.5, 0.0], [0.0, 0.7, 0.0]], np.float32
+    )
+    from dtrenderer_tpu.models.mesh import make_mesh
+
+    mesh = make_mesh(verts, None, np.tile([[0.0, 0.0, 1.0]], (3, 1)),
+                     np.array([[0, 1, 2]], np.int32))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
+    light = make_light((0.0, 0.0, 1.0), 0.2)
+
+    def frame(color, depth, t):
+        fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
+        mdl = m3.model_matrix((0.0, 0.0, -2.0), m3.rotate_z(t * 0.5))
+        fb = draw_mesh(fb, mesh, mdl, proj, color=(0.9, 0.35, 0.2, 1.0),
+                       light=light, shading="flat", backend=backend)
+        return fb.color, fb.depth
+
+    return SceneSpec("config1_flat_triangle", width, height, 1, frame)
+
+
+def make_config2(width=800, height=600, backend="pallas") -> SceneSpec:
+    """Textured spinning cube, z-buffered, nearest-neighbor sampling."""
+    mesh = primitives.cube()
+    tex = primitives.checkerboard(64, 8, (1.0, 0.85, 0.3, 1.0),
+                                  (0.15, 0.15, 0.5, 1.0))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+
+    def frame(color, depth, t):
+        fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
+        mdl = m3.model_matrix((0, 0, -4.5), m3.rotate_y(t) @ m3.rotate_x(t * 0.6))
+        fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
+                       shading="flat", sampling_mode="nearest", backend=backend)
+        return fb.color, fb.depth
+
+    return SceneSpec("config2_textured_cube", width, height, mesh.num_tris, frame)
+
+
+def make_config3(width=800, height=600, backend="pallas") -> SceneSpec:
+    """~5k-tri OBJ mesh with Gouraud shading + bilinear textures."""
+    mesh = _head_mesh()
+    tex = _head_texture()
+    proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
+    light = make_light((0.5, 0.4, 1.0), 0.12)
+
+    def frame(color, depth, t):
+        fb = _clear(color, depth, [0.04, 0.05, 0.09, 1.0])
+        mdl = m3.model_matrix((0, 0, -2.6), m3.rotate_y(t), 1.2)
+        fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
+                       shading="gouraud", sampling_mode="bilinear",
+                       backend=backend)
+        return fb.color, fb.depth
+
+    return SceneSpec("config3_obj_gouraud", width, height, mesh.num_tris, frame)
+
+
+def make_config4(width=1920, height=1080, backend="pallas") -> SceneSpec:
+    """Multi-mesh scene, perspective-correct UVs + per-pixel Phong at 1080p."""
+    head = _head_mesh()
+    cube = primitives.cube()
+    sphere = primitives.uv_sphere(24, 32)
+    tex = _head_texture()
+    checker = primitives.checkerboard(64, 8)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 100.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    n_tris = head.num_tris + cube.num_tris + sphere.num_tris * 2
+
+    def frame(color, depth, t):
+        fb = _clear(color, depth, [0.03, 0.03, 0.06, 1.0])
+        fb = draw_mesh(fb, head,
+                       m3.model_matrix((-1.3, 0.1, -3.0), m3.rotate_y(t), 1.3),
+                       proj, texture=tex, light=light, shading="phong",
+                       sampling_mode="bilinear", backend=backend)
+        fb = draw_mesh(fb, cube,
+                       m3.model_matrix((1.5, -0.3, -4.6),
+                                       m3.rotate_y(t * 0.8) @ m3.rotate_x(0.4)),
+                       proj, texture=checker, light=light, shading="phong",
+                       sampling_mode="bilinear", backend=backend)
+        fb = draw_mesh(fb, sphere,
+                       m3.model_matrix((0.6, 1.0, -5.5), m3.rotate_y(t * 0.5), 1.1),
+                       proj, color=(0.8, 0.5, 0.9, 1.0), light=light,
+                       shading="phong", backend=backend)
+        fb = draw_mesh(fb, sphere,
+                       m3.model_matrix((-0.4, -1.0, -6.0), m3.rotate_y(-t), 1.4),
+                       proj, color=(0.4, 0.9, 0.6, 1.0), light=light,
+                       shading="phong", backend=backend)
+        return fb.color, fb.depth
+
+    return SceneSpec("config4_multimesh_phong", width, height, n_tris, frame)
+
+
+def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="pallas",
+                 capacity=2048) -> SceneSpec:
+    """1M-triangle stress soup at 4K (per-shard use via parallel/shard.py)."""
+    soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
+    tex = primitives.gradient_texture(64)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
+    light = make_light((0.3, 0.5, 1.0), 0.2)
+
+    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
+        fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
+        mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
+        opts = dict(capacity=capacity, small_span=8) if backend == "pallas" else None
+        fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
+                       shading="gouraud", sampling_mode="nearest",
+                       backend=backend, y_offset=y_offset,
+                       frame_height=frame_height, frame_width=frame_width,
+                       raster_opts=opts)
+        return fb.color, fb.depth
+
+    return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame)
+
+
+ALL_CONFIGS = {
+    1: make_config1,
+    2: make_config2,
+    3: make_config3,
+    4: make_config4,
+    5: make_config5,
+}

@@ -1,0 +1,139 @@
+"""Triangle -> framebuffer-tile binning (static shapes, sort-based).
+
+The TPU replacement for the reference's per-triangle scanline dispatch: instead of
+walking each triangle's bbox (SURVEY.md CS-2 "bbox scan"), triangles are binned to the
+fixed 2D grid of framebuffer tiles the Pallas kernel rasterizes (raster_pallas.py).
+
+Everything is static-shaped and vectorized (XLA-friendly):
+  1. Each triangle's clamped pixel bbox maps to a tile-index span. Triangles covering
+     <= SMALL_SPAN tiles emit their covered tiles into a [T, SMALL_SPAN] slot matrix
+     (row-major over the span, masked). The few triangles covering more tiles go to a
+     separate "broad" list that every tile processes (capacity BROAD_CAP).
+  2. (tile, tri) pairs are encoded as tile*Tpad + tri and sorted; per-tile contiguous
+     ranges come from searchsorted. Per-tile lists are gathered to a fixed capacity K
+     (overflow counted and reported, never silently dropped: the caller can re-bin
+     with a bigger K).
+  3. Per-tile triangle SETUP data is pre-gathered into [tiles, K, 17] blocks
+     (16 geometry channels + the original triangle id bitcast into channel 16) so the
+     kernel's inner loop slices triangle-chunk rows straight from VMEM with no
+     in-kernel gather.
+
+Depth resolution is order-independent (strict z < with index tie-break, FORMULAS.md),
+so bin order within a tile does not affect the image.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+
+
+class Bins(NamedTuple):
+    setup: jnp.ndarray    # f32 [n_ty, n_tx, K, 17]: 16 coef channels + id (bitcast i32)
+    counts: jnp.ndarray   # i32 [n_ty, n_tx] valid slots per tile (<= K)
+    overflow: jnp.ndarray  # i32 [] total (tile,tri) pairs dropped due to capacity
+
+SETUP_ID_CHANNEL = 16
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
+                     "small_span", "broad_cap"),
+)
+def bin_triangles(
+    coef,
+    bbox,
+    valid,
+    height: int,
+    width: int,
+    tile_h: int = 64,
+    tile_w: int = 128,
+    capacity: int = 512,
+    small_span: int = 32,
+    broad_cap: int = 128,
+) -> Bins:
+    """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T]."""
+    T = coef.shape[0]
+    n_ty = _ceil_div(height, tile_h)
+    n_tx = _ceil_div(width, tile_w)
+    n_tiles = n_ty * n_tx
+    K = capacity
+
+    tx0 = bbox[:, 0] // tile_w
+    ty0 = bbox[:, 1] // tile_h
+    tx1 = bbox[:, 2] // tile_w
+    ty1 = bbox[:, 3] // tile_h
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    n_cover = jnp.where(valid, span_w * span_h, 0)
+
+    small = valid & (n_cover > 0) & (n_cover <= small_span)
+    broad = valid & (n_cover > small_span)
+
+    # --- small path: [T, SMALL_SPAN] tile ids, row-major over each span ---
+    s = jnp.arange(small_span, dtype=I32)[None, :]            # [1, S]
+    sw = jnp.maximum(span_w, 1)[:, None]                       # [T, 1]
+    dy = s // sw
+    dx = s % sw
+    tile = (ty0[:, None] + dy) * n_tx + (tx0[:, None] + dx)    # [T, S]
+    in_span = small[:, None] & (s < n_cover[:, None])
+    tile = jnp.where(in_span, tile, n_tiles)                   # sentinel sorts last
+
+    tri_ids = jnp.arange(T, dtype=I32)[:, None]
+    key = tile * I32(T) + jnp.where(in_span, tri_ids, 0)       # [T, S]
+    key_sorted = jnp.sort(key.reshape(-1))
+    tile_sorted = key_sorted // I32(T)
+    tri_sorted = key_sorted % I32(T)
+
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=I32))
+    counts_small = (starts[1:] - starts[:-1]).astype(I32)      # [n_tiles]
+
+    j = jnp.arange(K, dtype=I32)[None, :]                      # [1, K]
+    pos = jnp.minimum(starts[:-1][:, None] + j, T * small_span - 1)
+    small_ids = jnp.where(j < counts_small[:, None], tri_sorted[pos], -1)  # [n_tiles,K]
+
+    # --- broad path: few triangles, processed by every tile ---
+    broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
+    broad_sorted = jnp.sort(broad_key)[:broad_cap] if T >= broad_cap else jnp.pad(
+        jnp.sort(broad_key), (0, broad_cap - T), constant_values=T
+    )
+    n_broad = jnp.minimum(jnp.sum(broad.astype(I32)), broad_cap)
+    jb = jnp.arange(broad_cap, dtype=I32)
+    broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)      # [broad_cap]
+    broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - broad_cap, 0)
+
+    # --- merge: per tile, smalls first then broads, contiguous ---
+    cnt_s = jnp.minimum(counts_small, K - broad_cap)           # reserve broad room
+    small_overflow = jnp.sum(jnp.maximum(counts_small - (K - broad_cap), 0))
+    jj = jnp.arange(K, dtype=I32)[None, :]
+    take_small = jj < cnt_s[:, None]
+    bidx = jnp.clip(jj - cnt_s[:, None], 0, broad_cap - 1)
+    merged = jnp.where(
+        take_small,
+        small_ids[:, :K],
+        jnp.where(jj - cnt_s[:, None] < broad_cap, broad_ids[bidx], -1),
+    )
+    counts = cnt_s + n_broad
+
+    # --- pre-gather setup + id channel: [n_tiles, K, 17] ---
+    safe = jnp.maximum(merged, 0)
+    gathered = coef[safe]                                      # [n_tiles, K, 16]
+    gathered = jnp.where((merged >= 0)[..., None], gathered, 0.0)
+    id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
+    setup = jnp.concatenate([gathered, id_bits], axis=-1)      # [n_tiles, K, 17]
+
+    return Bins(
+        setup=setup.reshape(n_ty, n_tx, K, 17),
+        counts=counts.reshape(n_ty, n_tx),
+        overflow=(small_overflow + broad_dropped).astype(I32),
+    )

@@ -146,6 +146,7 @@ def draw_mesh(
     frame_width=None,
     y_offset=0,
     x_offset=0,
+    raster_opts: dict | None = None,
 ):
     """Render one mesh draw call into the framebuffer (DTRRender_Mesh analog).
 
@@ -185,7 +186,7 @@ def draw_mesh(
 
         z, tri = rasterize_pallas(
             setup.coef, setup.bbox, setup.valid, h, w,
-            y_offset=y_offset, x_offset=x_offset,
+            y_offset=y_offset, x_offset=x_offset, **(raster_opts or {}),
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -3,12 +3,19 @@ without TPU hardware (multi-chip paths validated on a host-platform mesh)."""
 
 import os
 
+# NOTE: the axon TPU plugin ignores the JAX_PLATFORMS env var; jax.config.update
+# (and JAX_PLATFORM_NAME) do work. Force CPU + 8 virtual devices for sharding tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,89 @@
+"""Benchmark scene smoke tests + aux subsystems (checkpoint, timers, counters)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dtrenderer_tpu.models import scenes
+from dtrenderer_tpu.ops import fb as fblib
+
+
+def _render(spec, t=0.6):
+    fb0 = fblib.create(spec.height, spec.width)
+    color, depth = jax.jit(spec.frame)(fb0.color, fb0.depth, jnp.float32(t))
+    return np.asarray(color), np.asarray(depth)
+
+
+def test_configs_1_to_3_render(rng):
+    for n, kw in [(1, {}), (2, {}), (3, {})]:
+        spec = scenes.ALL_CONFIGS[n](width=160, height=120, backend="ref", **kw)
+        color, depth = _render(spec)
+        assert np.isfinite(color).all(), spec.name
+        cov = np.isfinite(depth).mean()
+        assert cov > 0.05, f"{spec.name}: coverage {cov}"
+
+
+def test_config4_small_render(rng):
+    spec = scenes.make_config4(width=192, height=108, backend="ref")
+    color, depth = _render(spec)
+    assert np.isfinite(color).all()
+    assert np.isfinite(depth).mean() > 0.1
+
+
+def test_config5_small_render(rng):
+    # shrunken stress scene: 2000 tiny soup tris at 256x128, pallas backend.
+    # Each soup triangle is ~2px at this scale and half are backface-culled,
+    # so expected coverage is small but nonzero; capacity 1024 avoids overflow.
+    spec = scenes.make_config5(width=256, height=128, n_tris=2000,
+                               backend="pallas", capacity=1024)
+    color, depth = _render(spec)
+    assert np.isfinite(color).all()
+    cov = np.isfinite(depth).mean()
+    assert 0.005 < cov < 0.9, cov
+    # pallas and ref backends agree on the same scene
+    spec_ref = scenes.make_config5(width=256, height=128, n_tris=2000,
+                                   backend="ref")
+    _, depth_ref = _render(spec_ref)
+    assert np.array_equal(np.isfinite(depth_ref), np.isfinite(depth))
+
+
+def test_scene_determinism():
+    spec = scenes.make_config2(width=128, height=96, backend="ref")
+    a, _ = _render(spec, 0.7)
+    b, _ = _render(spec, 0.7)
+    assert np.array_equal(a, b)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dtrenderer_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    fb = fblib.create(32, 64)
+    fb = fblib.Framebuffer(
+        color=fb.color + jnp.asarray([0.25, 0.5, 0.75, 1.0]),
+        depth=fb.depth.at[3, 4].set(0.5),
+    )
+    p = str(tmp_path / "state.npz")
+    save_pytree(p, fb)
+    restored = load_pytree(p, fblib.create(32, 64))
+    assert np.array_equal(np.asarray(fb.color), np.asarray(restored.color))
+    assert np.array_equal(np.asarray(fb.depth), np.asarray(restored.depth))
+
+
+def test_frame_counters_merge():
+    from dtrenderer_tpu.debug import FrameCounters
+
+    a = FrameCounters(jnp.int32(3), jnp.int32(2), jnp.int32(100))
+    b = FrameCounters(jnp.int32(1), jnp.int32(1), jnp.int32(50))
+    m = a.merge(b)
+    assert int(m.tris_submitted) == 4
+    assert int(m.pixels_shaded) == 150
+
+
+def test_frame_timer():
+    from dtrenderer_tpu.utils.trace import FrameTimer
+
+    ft = FrameTimer(window=4)
+    for _ in range(6):
+        ft.tick()
+    assert len(ft.samples) == 4
+    assert ft.mean_ms >= 0.0
