@@ -51,7 +51,7 @@ def main():
         for y in (-0.7, 0.7)
     ]
 
-    backend = "pallas"
+    backend = "fused"
 
     def frame(color, depth, t):
         fb = fblib.Framebuffer(color=color, depth=depth)

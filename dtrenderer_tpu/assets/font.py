@@ -35,17 +35,49 @@ def _find_mono_ttf() -> str | None:
     try:
         import matplotlib.font_manager as fm
 
-        for f in fm.fontManager.ttflist:
-            if f.name == "DejaVu Sans Mono" and f.fname.endswith(".ttf"):
-                return f.fname
+        candidates = [
+            f.fname
+            for f in fm.fontManager.ttflist
+            if f.name == "DejaVu Sans Mono" and f.fname.endswith(".ttf")
+        ]
+        # prefer the regular face over Bold/Oblique variants
+        regular = [c for c in candidates
+                   if "Oblique" not in c and "Bold" not in c]
+        if regular:
+            return regular[0]
+        if candidates:
+            return candidates[0]
         return fm.findfont("monospace")
     except Exception:
         return None
 
 
 @functools.lru_cache(maxsize=8)
-def bake_builtin_font(size: int = 14) -> Font:
-    """Bake the default monospace atlas at the given pixel size."""
+def bake_builtin_font(size: int = 14, prefer_native: bool = True) -> Font:
+    """Bake the default monospace atlas at the given pixel size.
+
+    Prefers the from-scratch native TTF rasterizer (native/dtr_font.cpp, the
+    stb_truetype-role component); falls back to PIL baking when the native
+    library or a TTF file is unavailable.
+    """
+    ttf_path = _find_mono_ttf()
+    if prefer_native and ttf_path and ttf_path.endswith(".ttf"):
+        try:
+            from dtrenderer_tpu.assets import native
+
+            if native.available():
+                atlas_u8, cw, ch, _metrics, _ascent = native.bake_font_file(
+                    ttf_path, float(size), FIRST_CHAR,
+                    LAST_CHAR - FIRST_CHAR + 1, GRID_COLS,
+                )
+                atlas = atlas_u8.astype(np.float32) / np.float32(255.0)
+                return Font(atlas=jnp.asarray(atlas), cell_w=cw, cell_h=ch)
+        except Exception:
+            pass  # fall through to PIL baking
+    return _bake_with_pil(size)
+
+
+def _bake_with_pil(size: int) -> Font:
     from PIL import Image, ImageDraw, ImageFont
 
     ttf = _find_mono_ttf()

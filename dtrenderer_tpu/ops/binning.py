@@ -34,9 +34,10 @@ I32 = jnp.int32
 
 
 class Bins(NamedTuple):
-    setup: jnp.ndarray    # f32 [n_ty, n_tx, K, 17]: 16 coef channels + id (bitcast i32)
+    setup: jnp.ndarray    # f32 [n_ty, n_tx, K, C]: 16 coef + id (bitcast) + payload
     counts: jnp.ndarray   # i32 [n_ty, n_tx] valid slots per tile (<= K)
     overflow: jnp.ndarray  # i32 [] total (tile,tri) pairs dropped due to capacity
+    setup_t: jnp.ndarray | None = None  # f32 [n_ty, n_tx, C, K] channel-major copy
 
 SETUP_ID_CHANNEL = 16
 
@@ -48,7 +49,7 @@ def _ceil_div(a: int, b: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap"),
+                     "small_span", "broad_cap", "with_transposed"),
 )
 def bin_triangles(
     coef,
@@ -61,8 +62,16 @@ def bin_triangles(
     capacity: int = 512,
     small_span: int = 32,
     broad_cap: int = 128,
+    payload=None,
+    with_transposed: bool = False,
 ) -> Bins:
-    """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T]."""
+    """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
+
+    payload: optional f32 [T, P] extra per-triangle channels appended after the id
+    channel (used by the fused render kernel for texture metadata + corner attrs).
+    with_transposed: also produce setup_t [n_ty, n_tx, C, K] (channel-major), the
+    layout the fused kernel's slot-gather phase wants.
+    """
     T = coef.shape[0]
     n_ty = _ceil_div(height, tile_h)
     n_tx = _ceil_div(width, tile_w)
@@ -113,8 +122,9 @@ def bin_triangles(
     broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - broad_cap, 0)
 
     # --- merge: per tile, smalls first then broads, contiguous ---
-    cnt_s = jnp.minimum(counts_small, K - broad_cap)           # reserve broad room
-    small_overflow = jnp.sum(jnp.maximum(counts_small - (K - broad_cap), 0))
+    n_broad = jnp.minimum(n_broad, K)
+    cnt_s = jnp.minimum(counts_small, K - n_broad)  # reserve room for broads only
+    small_overflow = jnp.sum(jnp.maximum(counts_small - (K - n_broad), 0))
     jj = jnp.arange(K, dtype=I32)[None, :]
     take_small = jj < cnt_s[:, None]
     bidx = jnp.clip(jj - cnt_s[:, None], 0, broad_cap - 1)
@@ -125,15 +135,24 @@ def bin_triangles(
     )
     counts = cnt_s + n_broad
 
-    # --- pre-gather setup + id channel: [n_tiles, K, 17] ---
+    # --- pre-gather setup + id channel (+ payload): [n_tiles, K, C] ---
+    table = coef if payload is None else jnp.concatenate([coef, payload], axis=1)
     safe = jnp.maximum(merged, 0)
-    gathered = coef[safe]                                      # [n_tiles, K, 16]
+    gathered = table[safe]                                     # [n_tiles, K, 16+P]
     gathered = jnp.where((merged >= 0)[..., None], gathered, 0.0)
     id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
-    setup = jnp.concatenate([gathered, id_bits], axis=-1)      # [n_tiles, K, 17]
+    setup = jnp.concatenate(
+        [gathered[..., :16], id_bits, gathered[..., 16:]], axis=-1
+    )  # [n_tiles, K, C] with C = 17 + P
+    C = setup.shape[-1]
 
+    setup_t = (
+        jnp.transpose(setup, (0, 2, 1)).reshape(n_ty, n_tx, C, K)
+        if with_transposed else None
+    )
     return Bins(
-        setup=setup.reshape(n_ty, n_tx, K, 17),
+        setup=setup.reshape(n_ty, n_tx, K, C),
         counts=counts.reshape(n_ty, n_tx),
         overflow=(small_overflow + broad_dropped).astype(I32),
+        setup_t=setup_t,
     )

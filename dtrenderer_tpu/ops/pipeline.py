@@ -100,8 +100,14 @@ def shade_deferred(
     win = (tri >= 0) & (z < fb.depth)
     t = jnp.maximum(tri, 0)
 
-    c = coef[t]  # [H, W, 16]
-    a = attrs[t]  # [H, W, 3, 16]
+    # ONE embedding-style row gather of all per-triangle data: XLA TPU lowers
+    # [T, 64]-row lookups ~8x faster than separate [T,16]/[T,3,16] gathers.
+    T = coef.shape[0]
+    table = jnp.concatenate([coef, attrs.reshape(T, 48)], axis=1)  # [T, 64]
+    g = table[t.reshape(-1)].reshape(h, w, 64)
+    c = g[..., :16]            # [H, W, 16]
+    a = g[..., 16:].reshape(h, w, 3, ATTR_CHANNELS)
+
     px = (jnp.arange(w, dtype=F32) + (F32(0.5) + jnp.asarray(x_offset, F32)))[None, :]
     py = (jnp.arange(h, dtype=F32) + (F32(0.5) + jnp.asarray(y_offset, F32)))[:, None]
     _, _, b = coverage_and_depth(c, px, py)
@@ -147,6 +153,7 @@ def draw_mesh(
     y_offset=0,
     x_offset=0,
     raster_opts: dict | None = None,
+    return_counters: bool = False,
 ):
     """Render one mesh draw call into the framebuffer (DTRRender_Mesh analog).
 
@@ -177,6 +184,49 @@ def draw_mesh(
     setup = geometry.triangle_setup(screen, mesh.faces, fw, fh, cull_backfaces)
     attrs = build_attrs(screen, mesh, model, normal_mat, light, color, shading)
 
+    if backend == "fused":
+        # Single fused Pallas kernel: visibility + interpolation + texture +
+        # lighting per tile (ops/render_fused.py); only blend/depth-merge stay
+        # in XLA. Fastest path; formulas identical to the deferred path.
+        from dtrenderer_tpu.ops.render_fused import (
+            PAYLOAD_CHANNELS, make_texture_lut, render_fused,
+        )
+
+        T = mesh.faces.shape[0]
+        tex_lut, meta = make_texture_lut([texture])
+        base, tw_, th_ = meta[0]
+        is_phong = 1.0 if shading == SHADING_PHONG else 0.0
+        texmeta = jnp.broadcast_to(
+            jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
+        )
+        payload = jnp.concatenate(
+            [texmeta, attrs[..., :10].reshape(T, 30)], axis=1
+        )
+        assert payload.shape[1] == PAYLOAD_CHANNELS
+        z, src = render_fused(
+            setup.coef, setup.bbox, setup.valid, payload, tex_lut,
+            light.direction, light.ambient, h, w,
+            y_offset=y_offset, x_offset=x_offset,
+            bilinear=(sampling_mode == "bilinear"),
+            with_phong=(shading == SHADING_PHONG),
+            **(raster_opts or {}),
+        )
+        win = z < fb.depth
+        blended = blend_over(src, fb.color)
+        out = Framebuffer(
+            color=jnp.where(win[..., None], blended, fb.color),
+            depth=jnp.where(win, z, fb.depth),
+        )
+        if not return_counters:
+            return out
+        from dtrenderer_tpu.debug import FrameCounters
+
+        return out, FrameCounters(
+            tris_submitted=jnp.int32(T),
+            tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
+            pixels_shaded=jnp.sum(win.astype(jnp.int32)),
+        )
+
     if backend == "ref":
         z, tri = rasterize_ref(
             setup.coef, setup.valid, h, w, y_offset=y_offset, x_offset=x_offset
@@ -191,7 +241,17 @@ def draw_mesh(
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    return shade_deferred(
+    out = shade_deferred(
         fb, z, tri, setup.coef, attrs, texture, sampling_mode, shading, light,
         y_offset=y_offset, x_offset=x_offset,
     )
+    if not return_counters:
+        return out
+    from dtrenderer_tpu.debug import FrameCounters
+
+    counters = FrameCounters(
+        tris_submitted=jnp.int32(mesh.faces.shape[0]),
+        tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
+        pixels_shaded=jnp.sum(((tri >= 0) & (z < fb.depth)).astype(jnp.int32)),
+    )
+    return out, counters
