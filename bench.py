@@ -54,13 +54,16 @@ def main():
     backend = "fused"
 
     def frame(color, depth, t):
+        from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
+
         fb = fblib.Framebuffer(color=color, depth=depth)
         fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
-        for i, mdl in enumerate(models):
-            fb = draw_mesh(
-                fb, sphere, mdl, proj, texture=tex, light=light,
-                shading="phong", sampling_mode="bilinear", backend=backend,
-            )
+        fb = draw_meshes(
+            fb, proj,
+            [DrawSpec(sphere, mdl, texture=tex, shading="phong")
+             for mdl in models],
+            light=light, sampling_mode="bilinear",
+        )
         return fb.color, fb.depth
 
     fb0 = fblib.create(h, w)

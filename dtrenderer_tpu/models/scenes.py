@@ -62,7 +62,7 @@ def _head_texture():
     return primitives.gradient_texture(128)
 
 
-def make_config1(width=800, height=600, backend="pallas") -> SceneSpec:
+def make_config1(width=800, height=600, backend="fused") -> SceneSpec:
     """Single flat-shaded triangle into an 800x600 RGBA framebuffer."""
     verts = np.array(
         [[-0.7, -0.6, 0.0], [0.7, -0.5, 0.0], [0.0, 0.7, 0.0]], np.float32
@@ -84,7 +84,7 @@ def make_config1(width=800, height=600, backend="pallas") -> SceneSpec:
     return SceneSpec("config1_flat_triangle", width, height, 1, frame)
 
 
-def make_config2(width=800, height=600, backend="pallas") -> SceneSpec:
+def make_config2(width=800, height=600, backend="fused") -> SceneSpec:
     """Textured spinning cube, z-buffered, nearest-neighbor sampling."""
     mesh = primitives.cube()
     tex = primitives.checkerboard(64, 8, (1.0, 0.85, 0.3, 1.0),
@@ -102,7 +102,7 @@ def make_config2(width=800, height=600, backend="pallas") -> SceneSpec:
     return SceneSpec("config2_textured_cube", width, height, mesh.num_tris, frame)
 
 
-def make_config3(width=800, height=600, backend="pallas") -> SceneSpec:
+def make_config3(width=800, height=600, backend="fused") -> SceneSpec:
     """~5k-tri OBJ mesh with Gouraud shading + bilinear textures."""
     mesh = _head_mesh()
     tex = _head_texture()
@@ -120,7 +120,7 @@ def make_config3(width=800, height=600, backend="pallas") -> SceneSpec:
     return SceneSpec("config3_obj_gouraud", width, height, mesh.num_tris, frame)
 
 
-def make_config4(width=1920, height=1080, backend="pallas") -> SceneSpec:
+def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
     """Multi-mesh scene, perspective-correct UVs + per-pixel Phong at 1080p."""
     head = _head_mesh()
     cube = primitives.cube()
@@ -132,30 +132,37 @@ def make_config4(width=1920, height=1080, backend="pallas") -> SceneSpec:
     n_tris = head.num_tris + cube.num_tris + sphere.num_tris * 2
 
     def frame(color, depth, t):
+        from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
+
         fb = _clear(color, depth, [0.03, 0.03, 0.06, 1.0])
-        fb = draw_mesh(fb, head,
-                       m3.model_matrix((-1.3, 0.1, -3.0), m3.rotate_y(t), 1.3),
-                       proj, texture=tex, light=light, shading="phong",
-                       sampling_mode="bilinear", backend=backend)
-        fb = draw_mesh(fb, cube,
-                       m3.model_matrix((1.5, -0.3, -4.6),
-                                       m3.rotate_y(t * 0.8) @ m3.rotate_x(0.4)),
-                       proj, texture=checker, light=light, shading="phong",
-                       sampling_mode="bilinear", backend=backend)
-        fb = draw_mesh(fb, sphere,
-                       m3.model_matrix((0.6, 1.0, -5.5), m3.rotate_y(t * 0.5), 1.1),
-                       proj, color=(0.8, 0.5, 0.9, 1.0), light=light,
-                       shading="phong", backend=backend)
-        fb = draw_mesh(fb, sphere,
-                       m3.model_matrix((-0.4, -1.0, -6.0), m3.rotate_y(-t), 1.4),
-                       proj, color=(0.4, 0.9, 0.6, 1.0), light=light,
-                       shading="phong", backend=backend)
+        specs = [
+            DrawSpec(head, m3.model_matrix((-1.3, 0.1, -3.0), m3.rotate_y(t), 1.3),
+                     texture=tex, shading="phong"),
+            DrawSpec(cube, m3.model_matrix((1.5, -0.3, -4.6),
+                                           m3.rotate_y(t * 0.8) @ m3.rotate_x(0.4)),
+                     texture=checker, shading="phong"),
+            DrawSpec(sphere, m3.model_matrix((0.6, 1.0, -5.5),
+                                             m3.rotate_y(t * 0.5), 1.1),
+                     color=(0.8, 0.5, 0.9, 1.0), shading="phong"),
+            DrawSpec(sphere, m3.model_matrix((-0.4, -1.0, -6.0), m3.rotate_y(-t),
+                                             1.4),
+                     color=(0.4, 0.9, 0.6, 1.0), shading="phong"),
+        ]
+        if backend == "fused":
+            # one batched fused submission (bit-identical to sequential draws)
+            fb = draw_meshes(fb, proj, specs, light=light,
+                             sampling_mode="bilinear")
+        else:
+            for s in specs:
+                fb = draw_mesh(fb, s.mesh, s.model, proj, texture=s.texture,
+                               color=s.color, light=light, shading=s.shading,
+                               sampling_mode="bilinear", backend=backend)
         return fb.color, fb.depth
 
     return SceneSpec("config4_multimesh_phong", width, height, n_tris, frame)
 
 
-def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="pallas",
+def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
                  capacity=2048) -> SceneSpec:
     """1M-triangle stress soup at 4K (per-shard use via parallel/shard.py)."""
     soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
@@ -166,7 +173,8 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="pallas",
     def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
-        opts = dict(capacity=capacity, small_span=8) if backend == "pallas" else None
+        opts = (dict(capacity=capacity, small_span=8)
+                if backend in ("pallas", "fused") else None)
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,

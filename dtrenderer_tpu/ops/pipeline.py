@@ -245,6 +245,10 @@ def draw_mesh(
         fb, z, tri, setup.coef, attrs, texture, sampling_mode, shading, light,
         y_offset=y_offset, x_offset=x_offset,
     )
+    return _finish_draw(out, fb, mesh, setup, z, tri, return_counters)
+
+
+def _finish_draw(out, fb, mesh, setup, z, tri, return_counters):
     if not return_counters:
         return out
     from dtrenderer_tpu.debug import FrameCounters
@@ -255,3 +259,104 @@ def draw_mesh(
         pixels_shaded=jnp.sum(((tri >= 0) & (z < fb.depth)).astype(jnp.int32)),
     )
     return out, counters
+
+
+class DrawSpec:
+    """One mesh submission for the batched scene path (draw_meshes)."""
+
+    def __init__(self, mesh, model, texture=None, color=(1.0, 1.0, 1.0, 1.0),
+                 shading: str = SHADING_GOURAUD, normal_mat=None):
+        self.mesh = mesh
+        self.model = model
+        self.texture = texture
+        self.color = color
+        self.shading = shading
+        self.normal_mat = normal_mat
+
+
+def draw_meshes(
+    fb: Framebuffer,
+    view_proj,
+    draws,
+    light: Light | None = None,
+    sampling_mode: str = "bilinear",
+    cull_backfaces: bool = True,
+    frame_height=None,
+    frame_width=None,
+    y_offset=0,
+    x_offset=0,
+    raster_opts: dict | None = None,
+):
+    """Batched scene submission: ALL opaque meshes rasterize + shade in ONE fused
+    kernel invocation (the multi-mesh analog of the reference's per-frame scene,
+    amortizing binning/kernel overheads across draws).
+
+    Exactly equivalent to sequential fused draw_mesh calls for opaque geometry:
+    the z-test winner is order-independent (FORMULAS.md) and blending happens once
+    against the pre-scene framebuffer. Each draw keeps its own texture (packed
+    into one LUT with per-triangle base offsets), per-vertex lighting mode, and
+    color; `sampling_mode` is scene-wide.
+    """
+    from dtrenderer_tpu.ops.render_fused import (
+        PAYLOAD_CHANNELS, make_texture_lut, render_fused,
+    )
+
+    if light is None:
+        from dtrenderer_tpu.ops.shading import make_light
+
+        light = make_light()
+    h, w = fb.depth.shape
+    fh = frame_height if frame_height is not None else h
+    fw = frame_width if frame_width is not None else w
+
+    textures = []
+    for d in draws:
+        textures.append(
+            d.texture if d.texture is not None else jnp.ones((1, 1, 4), F32)
+        )
+    tex_lut, meta = make_texture_lut(textures)
+
+    coefs, bboxes, valids, payloads = [], [], [], []
+    any_phong = False
+    for d, (base, tw_, th_) in zip(draws, meta):
+        model = d.model
+        normal_mat = d.normal_mat if d.normal_mat is not None else model
+        mvp = view_proj @ model
+        screen = geometry.vertex_transform(d.mesh.verts, mvp, fw, fh)
+        setup = geometry.triangle_setup(screen, d.mesh.faces, fw, fh,
+                                        cull_backfaces)
+        attrs = build_attrs(screen, d.mesh, model, normal_mat, light,
+                            d.color, d.shading)
+        T = d.mesh.faces.shape[0]
+        is_phong = 1.0 if d.shading == SHADING_PHONG else 0.0
+        any_phong = any_phong or d.shading == SHADING_PHONG
+        texmeta = jnp.broadcast_to(
+            jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
+        )
+        payloads.append(
+            jnp.concatenate([texmeta, attrs[..., :10].reshape(T, 30)], axis=1)
+        )
+        coefs.append(setup.coef)
+        bboxes.append(setup.bbox)
+        valids.append(setup.valid)
+
+    coef = jnp.concatenate(coefs, axis=0)
+    bbox = jnp.concatenate(bboxes, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+    payload = jnp.concatenate(payloads, axis=0)
+    assert payload.shape[1] == PAYLOAD_CHANNELS
+
+    z, src = render_fused(
+        coef, bbox, valid, payload, tex_lut,
+        light.direction, light.ambient, h, w,
+        y_offset=y_offset, x_offset=x_offset,
+        bilinear=(sampling_mode == "bilinear"),
+        with_phong=any_phong,
+        **(raster_opts or {}),
+    )
+    win = z < fb.depth
+    blended = blend_over(src, fb.color)
+    return Framebuffer(
+        color=jnp.where(win[..., None], blended, fb.color),
+        depth=jnp.where(win, z, fb.depth),
+    )

@@ -58,8 +58,6 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  bilinear: bool, with_phong: bool):
     n_pix = tile_h * tile_w
     assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
-    n8 = n_pix // 8
-    n_ptiles = n8 // 128
     k_chunks = capacity // 128
     t_chunks = tex_lanes // 128
 
@@ -71,6 +69,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         y0 = ti * tile_h + off_ref[0, 0]
         x0 = tj * tile_w + off_ref[0, 1]
 
+        # Empty tile: write background and skip both phases entirely.
+        @pl.when(n == 0)
+        def _empty():
+            z_ref[...] = jnp.full((1, 1, 1, n_pix), jnp.inf, F32)
+            src_ref[...] = jnp.zeros((1, 1, 4, n_pix), F32)
+
+        @pl.when(n > 0)
+        def _full():
+            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, setup_t_ref,
+                       tex_ref, z_ref, src_ref)
+
+    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, setup_t_ref,
+                   tex_ref, z_ref, src_ref):
         # ------------------------- phase 1: visibility -------------------------
         flat = jax.lax.broadcasted_iota(I32, (1, n_pix), 1)
         fx = flat % tile_w
@@ -134,21 +145,46 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         z_ref[...] = best_z.reshape(1, 1, 1, n_pix)
 
         # ------------------------- phase 2: shading ---------------------------
-        light_x = scal_ref[0, 0]
-        light_y = scal_ref[0, 1]
-        light_z = scal_ref[0, 2]
-        ambient = scal_ref[0, 3]
+        n_batches = n_pix // 1024
+        for pt in range(n_batches):
+            # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
+            # CONCATENATING [1,128] slices (Mosaic cannot shape-cast lanes into
+            # sublanes, but sublane concat is a plain pack). Row r of every
+            # [8,128] tensor below is flat pixels [pt*1024 + r*128, ... + 128).
+            def rows8(vec):
+                return jnp.concatenate(
+                    [vec[0:1, (pt * 8 + r) * 128:(pt * 8 + r + 1) * 128]
+                     for r in range(8)],
+                    axis=0,
+                )
 
-        for pt in range(n_ptiles):
-            # Each group owns the contiguous flat pixel range
-            # [pt*1024, (pt+1)*1024), reshaped row-major to [8, 128] so the final
-            # write back to src_ref[..., pt*1024 : ...] is exact.
-            sl = best_slot[0:1, pt * 1024:(pt + 1) * 1024].reshape(8, 128)
-            covered = (
-                best_z[0:1, pt * 1024:(pt + 1) * 1024] != jnp.inf
-            ).reshape(8, 128)
+            sl = rows8(best_slot)
+            covered = rows8(best_z) != jnp.inf
 
-            # Gather all channels for this pixel group: chunked 128-lane gathers.
+            # Skip fully-uncovered batches (background/sky): write zeros only.
+            cov_any = jnp.any(covered)
+
+            @pl.when(jnp.logical_not(cov_any))
+            def _sky():
+                zero = jnp.zeros((1, 128), F32)
+                for ch in range(4):
+                    for r in range(8):
+                        src_ref[0, 0, ch:ch + 1,
+                                pl.ds((pt * 8 + r) * 128, 128)] = zero
+
+            @pl.when(cov_any)
+            def _shade():
+                _shade_batch(pt, sl, covered, x0, y0, scal_ref, setup_t_ref,
+                             tex_ref, src_ref)
+
+    def _shade_batch(pt, sl, covered, x0, y0, scal_ref, setup_t_ref, tex_ref,
+                     src_ref):
+            light_x = scal_ref[0, 0]
+            light_y = scal_ref[0, 1]
+            light_z = scal_ref[0, 2]
+            ambient = scal_ref[0, 3]
+
+            # Gather all channels for this pixel batch: chunked 128-lane gathers.
             vals = [jnp.zeros((8, 128), F32) for _ in range(N_CHANNELS)]
             for j in range(k_chunks):
                 loc = sl - j * 128
@@ -163,8 +199,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     )
                     vals[ch] = jnp.where(sel, _gather128(seg, loc), vals[ch])
 
-            # Pixel coordinates for this group (flat = pt*1024 + r*128 + lane,
-            # matching the contiguous slice + row-major [8,128] reshape above).
+            # Pixel coordinates (flat = pt*1024 + r*128 + lane).
             rr = jax.lax.broadcasted_iota(I32, (8, 128), 0)
             ll = jax.lax.broadcasted_iota(I32, (8, 128), 1)
             flat8 = pt * 1024 + rr * 128 + ll
@@ -265,9 +300,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
             for ch in range(4):
                 out = jnp.where(covered, src[ch], F32(0.0))
-                src_ref[0, 0, ch:ch + 1, pl.ds(pt * 1024, 1024)] = out.reshape(
-                    1, 1024
-                )
+                for r in range(8):
+                    src_ref[
+                        0, 0, ch:ch + 1,
+                        pl.ds((pt * 8 + r) * 128, 128),
+                    ] = out[r:r + 1, :]
 
     return kernel
 

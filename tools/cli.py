@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--h", type=int, default=None)
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--out", default="/tmp/frame.png")
-    ap.add_argument("--backend", default="pallas", choices=["ref", "pallas"])
+    ap.add_argument("--backend", default="fused", choices=["ref", "pallas", "fused"])
     ap.add_argument("--rows", type=int, default=0,
                     help="shard the framebuffer into N row bands over devices")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")

@@ -82,7 +82,7 @@ def main():
     ap.add_argument("--w", type=int, default=800)
     ap.add_argument("--h", type=int, default=600)
     ap.add_argument("--frames", type=int, default=1)
-    ap.add_argument("--backend", default="ref", choices=["ref", "pallas"])
+    ap.add_argument("--backend", default="fused", choices=["ref", "pallas", "fused"])
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
