@@ -127,6 +127,17 @@ def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs) -> RenderS
     )
 
 
+def render_meshes(state: RenderState, view_proj, draws, **kwargs) -> RenderState:
+    """Batched scene submission: all opaque meshes in one fused kernel call.
+
+    draws: sequence of pipeline.DrawSpec. Bit-identical to sequential
+    render_mesh calls for opaque geometry (order-independent depth resolve).
+    """
+    return state._replace(
+        fb=pipeline.draw_meshes(state.fb, view_proj, draws, **kwargs)
+    )
+
+
 def finish_frame(state: RenderState) -> jnp.ndarray:
     """Pack to display sRGB u8 [H, W, 4] (the StretchDIBits-blit analog)."""
     return fblib.pack(state.fb)

@@ -190,3 +190,108 @@ def interp(b, a0, a1, a2):
     """Barycentric interpolation with fixed op order (FORMULAS.md)."""
     b0, b1, b2 = b
     return (b0 * a0 + b1 * a1) + b2 * a2
+
+
+# ---------------------------------------------------------------------------
+# Near-plane clipping (static shapes: every triangle -> exactly 2 output slots)
+# ---------------------------------------------------------------------------
+
+NEAR_EPS = jnp.float32(1e-4)
+
+
+def _rotate_corners(c, a, start):
+    """Rotate corner order of c [T,3,4] / a [T,3,A] by per-triangle start i32[T]."""
+    idx = (start[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]) % 3  # [T,3]
+    gather = lambda x: jnp.take_along_axis(
+        x, idx[..., None], axis=1
+    )
+    return gather(c), gather(a)
+
+
+def clip_near(corners_clip, corner_attrs, eps=NEAR_EPS):
+    """Clip triangles against the near plane w = eps in clip space.
+
+    corners_clip: f32 [T, 3, 4] homogeneous clip coords per corner.
+    corner_attrs: f32 [T, 3, A] linearly-varying attributes per corner (raw,
+    NOT premultiplied by 1/w — clip-space lerp is exact for these).
+    Returns (clip2 [T, 2, 3, 4], attrs2 [T, 2, 3, A], valid2 [T, 2]): each input
+    triangle maps to up to two output triangles (a triangle with exactly two
+    vertices in front of the plane clips to a quad). Triangles fully in front
+    pass through unchanged in slot 0 (bit-identical corners, so enabling
+    clipping does not perturb unclipped geometry). The reference has no
+    clipping stage (SURVEY.md CS-2 transforms then rasterizes); this closes
+    that robustness gap.
+    """
+    w = corners_clip[..., 3]                        # [T, 3]
+    inside = w >= eps
+    cnt = jnp.sum(inside.astype(jnp.int32), axis=1)  # [T]
+
+    # Canonical rotations: cnt==1 -> the single INSIDE vertex becomes corner 0;
+    # cnt==2 -> the single OUTSIDE vertex becomes corner 2.
+    in_idx = jnp.argmax(inside.astype(jnp.int32), axis=1).astype(jnp.int32)
+    out_idx = jnp.argmax((~inside).astype(jnp.int32), axis=1).astype(jnp.int32)
+    start = jnp.where(
+        cnt == 1, in_idx, jnp.where(cnt == 2, (out_idx + 1) % 3, 0)
+    )
+    c, a = _rotate_corners(corners_clip, corner_attrs, start)
+    w = c[..., 3]
+
+    def isect(i, j):
+        """Intersection of edge corner_i -> corner_j with the w = eps plane."""
+        wi = w[:, i:i + 1]
+        wj = w[:, j:j + 1]
+        denom = wj - wi
+        t = (eps - wi) / jnp.where(denom == 0, jnp.float32(1.0), denom)
+        t = jnp.clip(t, 0.0, 1.0)
+        ci = c[:, i]
+        cj = c[:, j]
+        ai = a[:, i]
+        aj = a[:, j]
+        return ci + (cj - ci) * t, ai + (aj - ai) * t
+
+    # cnt == 1 (A=corner0 inside): A, AB_x, AC_x
+    ab_c, ab_a = isect(0, 1)
+    ac_c, ac_a = isect(0, 2)
+    tri1_c = jnp.stack([c[:, 0], ab_c, ac_c], axis=1)
+    tri1_a = jnp.stack([a[:, 0], ab_a, ac_a], axis=1)
+
+    # cnt == 2 (A,B inside, C=corner2 outside): (A, B, BC_x) and (A, BC_x, AC_x)
+    bc_c, bc_a = isect(1, 2)
+    ca_c, ca_a = isect(0, 2)
+    tri2a_c = jnp.stack([c[:, 0], c[:, 1], bc_c], axis=1)
+    tri2a_a = jnp.stack([a[:, 0], a[:, 1], bc_a], axis=1)
+    tri2b_c = jnp.stack([c[:, 0], bc_c, ca_c], axis=1)
+    tri2b_a = jnp.stack([a[:, 0], bc_a, ca_a], axis=1)
+
+    cnt_b = cnt[:, None, None]
+    slot0_c = jnp.where(cnt_b == 3, c,
+                        jnp.where(cnt_b == 2, tri2a_c,
+                                  jnp.where(cnt_b == 1, tri1_c, c)))
+    slot0_a = jnp.where(cnt_b == 3, a,
+                        jnp.where(cnt_b == 2, tri2a_a,
+                                  jnp.where(cnt_b == 1, tri1_a, a)))
+    slot1_c = tri2b_c
+    slot1_a = tri2b_a
+
+    valid0 = cnt >= 1
+    valid1 = cnt == 2
+    clip2 = jnp.stack([slot0_c, slot1_c], axis=1)
+    attrs2 = jnp.stack([slot0_a, slot1_a], axis=1)
+    valid2 = jnp.stack([valid0, valid1], axis=1)
+    return clip2, attrs2, valid2
+
+
+def corners_to_screen(corners_clip, width, height):
+    """Per-corner clip -> screen (sx, sy, sz01, q); same formulas as
+    vertex_transform (FORMULAS.md viewport)."""
+    w = corners_clip[..., 3]
+    behind = w <= jnp.float32(1e-6)
+    q = jnp.where(behind, jnp.float32(0.0),
+                  jnp.float32(1.0) / jnp.where(behind, 1.0, w))
+    x_ndc = corners_clip[..., 0] * q
+    y_ndc = corners_clip[..., 1] * q
+    z_ndc = corners_clip[..., 2] * q
+    sx = (x_ndc + jnp.float32(1.0)) * jnp.float32(0.5 * width)
+    sy = (jnp.float32(1.0) - y_ndc) * jnp.float32(0.5 * height)
+    sz = (z_ndc + jnp.float32(1.0)) * jnp.float32(0.5)
+    return jnp.stack([sx, sy, sz, q], axis=-1)

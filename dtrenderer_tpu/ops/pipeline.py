@@ -42,6 +42,85 @@ F32 = jnp.float32
 ATTR_CHANNELS = 16
 
 
+def build_corner_attrs_raw(mesh, model, normal_mat, light: Light, color,
+                           shading: str):
+    """Raw (NOT q-premultiplied) per-corner attributes [T, 3, 9]:
+    u, v, r, g, b, a (lit per mode), nx, ny, nz — linear in world space, so they
+    clip-lerp exactly (geometry.clip_near). Values match build_attrs' inputs."""
+    faces = mesh.faces
+    uv = mesh.uv[faces]  # [T, 3, 2]
+    color = jnp.asarray(color, F32)
+
+    world = transform_points(homogenize(mesh.verts), model)[..., :3]
+    wnormals = transform_directions(mesh.normals, normal_mat)
+
+    T = faces.shape[0]
+    zeros3 = jnp.zeros((T, 3, 3), F32)
+    if shading == SHADING_FLAT:
+        w0 = world[faces[:, 0]]
+        w1 = world[faces[:, 1]]
+        w2 = world[faces[:, 2]]
+        face_n = jnp.cross(w1 - w0, w2 - w0)
+        term = light_term(face_n, light)
+        corner_rgba = apply_light(jnp.broadcast_to(color, (T, 3, 4)),
+                                  term[:, None])
+        nq = zeros3
+    elif shading == SHADING_GOURAUD:
+        vterm = light_term(wnormals[faces], light)
+        corner_rgba = apply_light(jnp.broadcast_to(color, (T, 3, 4)), vterm)
+        nq = zeros3
+    elif shading == SHADING_PHONG:
+        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
+        nq = wnormals[faces]
+    elif shading == SHADING_NONE:
+        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
+        nq = zeros3
+    else:
+        raise ValueError(f"unknown shading mode {shading!r}")
+
+    return jnp.concatenate([uv, corner_rgba, nq], axis=-1)  # [T, 3, 9]
+
+
+def corner_attrs_with_q(screen_corners, raw):
+    """[T,3,10] q-premultiplied channels (q, u*q, v*q, rgba*q, n*q) from raw
+    per-corner attrs + per-corner screen q. Same op order as build_attrs."""
+    q = screen_corners[..., 3:4]  # [T, 3, 1]
+    return jnp.concatenate(
+        [q, raw[..., 0:2] * q, raw[..., 2:6] * q, raw[..., 6:9] * q], axis=-1
+    )
+
+
+def prepare_draw(mesh, model, view_proj, mvp, normal_mat, light, color,
+                 shading, frame_w, frame_h, cull_backfaces=True,
+                 near_clip=True):
+    """Shared geometry stage for all backends: transform, (optionally) clip
+    against the near plane, viewport, triangle setup, q-premultiplied corner
+    attrs. Returns (setup TriSetup, attrs10 [T',3,10]) where T' = 2T when
+    clipping (slot-1 triangles only valid for clipped geometry)."""
+    clip4 = transform_points(homogenize(mesh.verts), mvp)  # [N, 4]
+    corners_clip = clip4[mesh.faces]  # [T, 3, 4]
+    raw = build_corner_attrs_raw(mesh, model, normal_mat, light, color, shading)
+
+    if near_clip:
+        clip2, attrs2, valid2 = geometry.clip_near(corners_clip, raw)
+        Tp = corners_clip.shape[0] * 2
+        corners_clip = clip2.reshape(Tp, 3, 4)
+        raw = attrs2.reshape(Tp, 3, 9)
+        pre_valid = valid2.reshape(Tp)
+    else:
+        pre_valid = None
+
+    screen_c = geometry.corners_to_screen(corners_clip, frame_w, frame_h)
+    setup = geometry.triangle_setup_from_corners(
+        screen_c[:, 0], screen_c[:, 1], screen_c[:, 2],
+        frame_w, frame_h, cull_backfaces,
+    )
+    if pre_valid is not None:
+        setup = setup._replace(valid=setup.valid & pre_valid)
+    attrs10 = corner_attrs_with_q(screen_c, raw)
+    return setup, attrs10
+
+
 def build_attrs(screen, mesh, model, normal_mat, light: Light, color, shading: str):
     """Per-triangle, per-corner attribute planes [T, 3, 16] (layout above)."""
     faces = mesh.faces
@@ -154,6 +233,7 @@ def draw_mesh(
     x_offset=0,
     raster_opts: dict | None = None,
     return_counters: bool = False,
+    near_clip: bool = True,
 ):
     """Render one mesh draw call into the framebuffer (DTRRender_Mesh analog).
 
@@ -180,9 +260,10 @@ def draw_mesh(
 
     if mvp is None:
         mvp = view_proj @ model
-    screen = geometry.vertex_transform(mesh.verts, mvp, fw, fh)
-    setup = geometry.triangle_setup(screen, mesh.faces, fw, fh, cull_backfaces)
-    attrs = build_attrs(screen, mesh, model, normal_mat, light, color, shading)
+    setup, attrs10 = prepare_draw(
+        mesh, model, view_proj, mvp, normal_mat, light, color, shading,
+        fw, fh, cull_backfaces, near_clip,
+    )
 
     if backend == "fused":
         # Single fused Pallas kernel: visibility + interpolation + texture +
@@ -192,7 +273,7 @@ def draw_mesh(
             PAYLOAD_CHANNELS, make_texture_lut, render_fused,
         )
 
-        T = mesh.faces.shape[0]
+        T = setup.coef.shape[0]
         tex_lut, meta = make_texture_lut([texture])
         base, tw_, th_ = meta[0]
         is_phong = 1.0 if shading == SHADING_PHONG else 0.0
@@ -200,7 +281,7 @@ def draw_mesh(
             jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
         )
         payload = jnp.concatenate(
-            [texmeta, attrs[..., :10].reshape(T, 30)], axis=1
+            [texmeta, attrs10.reshape(T, 30)], axis=1
         )
         assert payload.shape[1] == PAYLOAD_CHANNELS
         z, src = render_fused(
@@ -241,8 +322,12 @@ def draw_mesh(
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
+    Tp = attrs10.shape[0]
+    attrs16 = jnp.concatenate(
+        [attrs10, jnp.zeros((Tp, 3, ATTR_CHANNELS - 10), F32)], axis=-1
+    )
     out = shade_deferred(
-        fb, z, tri, setup.coef, attrs, texture, sampling_mode, shading, light,
+        fb, z, tri, setup.coef, attrs16, texture, sampling_mode, shading, light,
         y_offset=y_offset, x_offset=x_offset,
     )
     return _finish_draw(out, fb, mesh, setup, z, tri, return_counters)
@@ -286,6 +371,7 @@ def draw_meshes(
     y_offset=0,
     x_offset=0,
     raster_opts: dict | None = None,
+    near_clip: bool = True,
 ):
     """Batched scene submission: ALL opaque meshes rasterize + shade in ONE fused
     kernel invocation (the multi-mesh analog of the reference's per-frame scene,
@@ -322,19 +408,18 @@ def draw_meshes(
         model = d.model
         normal_mat = d.normal_mat if d.normal_mat is not None else model
         mvp = view_proj @ model
-        screen = geometry.vertex_transform(d.mesh.verts, mvp, fw, fh)
-        setup = geometry.triangle_setup(screen, d.mesh.faces, fw, fh,
-                                        cull_backfaces)
-        attrs = build_attrs(screen, d.mesh, model, normal_mat, light,
-                            d.color, d.shading)
-        T = d.mesh.faces.shape[0]
+        setup, attrs10 = prepare_draw(
+            d.mesh, model, view_proj, mvp, normal_mat, light, d.color,
+            d.shading, fw, fh, cull_backfaces, near_clip,
+        )
+        T = setup.coef.shape[0]
         is_phong = 1.0 if d.shading == SHADING_PHONG else 0.0
         any_phong = any_phong or d.shading == SHADING_PHONG
         texmeta = jnp.broadcast_to(
             jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
         )
         payloads.append(
-            jnp.concatenate([texmeta, attrs[..., :10].reshape(T, 30)], axis=1)
+            jnp.concatenate([texmeta, attrs10.reshape(T, 30)], axis=1)
         )
         coefs.append(setup.coef)
         bboxes.append(setup.bbox)

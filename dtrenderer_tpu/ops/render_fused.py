@@ -61,8 +61,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     k_chunks = capacity // 128
     t_chunks = tex_lanes // 128
 
-    def kernel(counts_ref, off_ref, scal_ref, setup_ref, setup_t_ref, tex_ref,
-               z_ref, src_ref):
+    def kernel(counts_ref, off_ref, scal_ref, setup_ref, tex_ref,
+               z_ref, src_ref, tsetup_ref):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         n = counts_ref[ti, tj]
@@ -77,11 +77,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         @pl.when(n > 0)
         def _full():
-            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, setup_t_ref,
-                       tex_ref, z_ref, src_ref)
+            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref,
+                       tex_ref, z_ref, src_ref, tsetup_ref)
 
-    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, setup_t_ref,
-                   tex_ref, z_ref, src_ref):
+    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref,
+                   tex_ref, z_ref, src_ref, tsetup_ref):
         # ------------------------- phase 1: visibility -------------------------
         flat = jax.lax.broadcasted_iota(I32, (1, n_pix), 1)
         fx = flat % tile_w
@@ -145,6 +145,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         z_ref[...] = best_z.reshape(1, 1, 1, n_pix)
 
         # ------------------------- phase 2: shading ---------------------------
+        # One in-kernel transpose to channel-major [C, K] (instead of shipping a
+        # second pre-transposed copy through HBM — halves binning memory/traffic).
+        tsetup_ref[...] = jnp.transpose(setup_ref[0, 0], (1, 0))
         n_batches = n_pix // 1024
         for pt in range(n_batches):
             # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
@@ -174,10 +177,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
             @pl.when(cov_any)
             def _shade():
-                _shade_batch(pt, sl, covered, x0, y0, scal_ref, setup_t_ref,
+                _shade_batch(pt, sl, covered, x0, y0, scal_ref, tsetup_ref,
                              tex_ref, src_ref)
 
-    def _shade_batch(pt, sl, covered, x0, y0, scal_ref, setup_t_ref, tex_ref,
+    def _shade_batch(pt, sl, covered, x0, y0, scal_ref, tsetup_ref, tex_ref,
                      src_ref):
             light_x = scal_ref[0, 0]
             light_y = scal_ref[0, 1]
@@ -194,8 +197,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     if ch == 16:
                         continue  # id bits unused in shading
                     seg = jnp.broadcast_to(
-                        setup_t_ref[0, 0, ch:ch + 1, pl.ds(j * 128, 128)],
-                        (8, 128),
+                        tsetup_ref[ch:ch + 1, pl.ds(j * 128, 128)], (8, 128)
                     )
                     vals[ch] = jnp.where(sel, _gather128(seg, loc), vals[ch])
 
@@ -300,11 +302,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
             for ch in range(4):
                 out = jnp.where(covered, src[ch], F32(0.0))
-                for r in range(8):
+                for row in range(8):
                     src_ref[
                         0, 0, ch:ch + 1,
-                        pl.ds((pt * 8 + r) * 128, 128),
-                    ] = out[r:r + 1, :]
+                        pl.ds((pt * 8 + row) * 128, 128),
+                    ] = out[row:row + 1, :]
 
     return kernel
 
@@ -314,7 +316,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "bilinear", "with_phong", "interpret"),
 )
-def _render_from_bins(setup, setup_t, counts, offsets, scalars, tex_lut,
+def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
                       bilinear, with_phong, interpret):
     n_ty, n_tx = counts.shape
@@ -332,10 +334,9 @@ def _render_from_bins(setup, setup_t, counts, offsets, scalars, tex_lut,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, capacity, N_CHANNELS), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N_CHANNELS, capacity), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((N_CHANNELS, capacity), F32)],
         out_specs=[
             pl.BlockSpec((1, 1, 1, n_pix), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -347,7 +348,7 @@ def _render_from_bins(setup, setup_t, counts, offsets, scalars, tex_lut,
             jax.ShapeDtypeStruct((n_ty, n_tx, 4, n_pix), I32 if False else F32),
         ],
         interpret=interpret,
-    )(counts, offsets, scalars, setup, setup_t, tex_lut)
+    )(counts, offsets, scalars, setup, tex_lut)
 
     def unflatten(a, ch):
         a = a.reshape(n_ty, n_tx, ch, tile_h, tile_w)
@@ -433,7 +434,7 @@ def render_fused(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
-        payload=payload, with_transposed=True,
+        payload=payload,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(
@@ -441,7 +442,7 @@ def render_fused(
           0.0, 0.0, 0.0, 0.0]], F32
     )
     return _render_from_bins(
-        bins.setup, bins.setup_t, bins.counts, offsets, scalars, tex_lut,
+        bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, bilinear, with_phong,
         interpret,
     )

@@ -33,30 +33,42 @@ def demo_frame(state, t: float, cube_mesh, sphere_mesh, tex, grad, backend: str)
 
     state = api.clear(state, rgba(0.06, 0.07, 0.12, 1.0))
 
-    # Rotating textured cube (flat-lit, nearest) — config-2 style.
-    model = m3.model_matrix(
+    # 3D scene: textured flat-lit cube (config-2 style), Gouraud+bilinear sphere
+    # (config-3 style), Phong cube (config-4 style).
+    m_cube = m3.model_matrix(
         (-1.4, 0.2, -5.0), m3.rotate_y(t * 1.1) @ m3.rotate_x(t * 0.7)
     )
-    state = api.render_mesh(
-        state, cube_mesh, model, proj, texture=tex, light=light,
-        shading="flat", sampling_mode="nearest", backend=backend,
-    )
-
-    # Gouraud sphere with bilinear gradient texture — config-3 style.
-    model = m3.model_matrix((1.5, -0.2, -6.0), m3.rotate_y(t * 0.6), 1.4)
-    state = api.render_mesh(
-        state, sphere_mesh, model, proj, texture=grad, light=light,
-        shading="gouraud", sampling_mode="bilinear", backend=backend,
-    )
-
-    # Phong cube — config-4 style.
-    model = m3.model_matrix(
+    m_sphere = m3.model_matrix((1.5, -0.2, -6.0), m3.rotate_y(t * 0.6), 1.4)
+    m_cube2 = m3.model_matrix(
         (0.1, 1.2, -7.5), m3.rotate_y(t * 0.9) @ m3.rotate_z(t * 0.4), 0.8
     )
-    state = api.render_mesh(
-        state, cube_mesh, model, proj, color=rgba(0.9, 0.4, 0.9, 1.0),
-        light=light, shading="phong", backend=backend,
-    )
+    if backend == "fused":
+        # one batched submission (sampling is scene-wide: bilinear)
+        from dtrenderer_tpu.ops.pipeline import DrawSpec
+
+        state = api.render_meshes(
+            state, proj,
+            [
+                DrawSpec(cube_mesh, m_cube, texture=tex, shading="flat"),
+                DrawSpec(sphere_mesh, m_sphere, texture=grad, shading="gouraud"),
+                DrawSpec(cube_mesh, m_cube2, color=rgba(0.9, 0.4, 0.9, 1.0),
+                         shading="phong"),
+            ],
+            light=light, sampling_mode="bilinear",
+        )
+    else:
+        state = api.render_mesh(
+            state, cube_mesh, m_cube, proj, texture=tex, light=light,
+            shading="flat", sampling_mode="nearest", backend=backend,
+        )
+        state = api.render_mesh(
+            state, sphere_mesh, m_sphere, proj, texture=grad, light=light,
+            shading="gouraud", sampling_mode="bilinear", backend=backend,
+        )
+        state = api.render_mesh(
+            state, cube_mesh, m_cube2, proj, color=rgba(0.9, 0.4, 0.9, 1.0),
+            light=light, shading="phong", backend=backend,
+        )
 
     # 2D primitive demos: alpha-blended rects (one rotated), line, circle, blit.
     state = api.render_rectangle(state, (20, h - 90), (120, h - 20),
