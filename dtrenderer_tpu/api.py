@@ -86,13 +86,22 @@ def render_text(state: RenderState, s, pos, color=(1, 1, 1, 1),
     )
 
 
-def render_triangle(state: RenderState, p0, p1, p2, color,
+def render_triangle(state: RenderState, p0, p1, p2, color=(1, 1, 1, 1),
+                    uv0=(0, 0), uv1=(1, 0), uv2=(0, 1), texture=None,
+                    sampling_mode: str = "nearest",
                     cull_backfaces: bool = False) -> RenderState:
     """DTRRender_Triangle analog for direct screen-space triangles.
 
-    p0..p2: (x, y) or (x, y, z[, q]) screen coords; z defaults to 0.5, q to 1.
-    Depth-tested against the state's z-buffer; flat color, alpha blended.
+    p0..p2: (x, y) or (x, y, z[, q]) screen coords; z defaults to 0.5, q to 1
+    (pass per-corner q for perspective-correct interpolation of uv). Optional
+    texture (premultiplied linear f32 [th,tw,4]) modulated by `color`;
+    depth-tested against the state's z-buffer; alpha blended.
     """
+    import jax.numpy as jnp
+
+    from dtrenderer_tpu.ops.pipeline import shade_deferred
+    from dtrenderer_tpu.ops.shading import make_light
+
     fb = state.fb
     h, w = fb.depth.shape
 
@@ -102,22 +111,24 @@ def render_triangle(state: RenderState, p0, p1, p2, color,
         while len(p) < 4:
             p.append({2: 0.5, 3: 1.0}[len(p)])
         corners.append(p[:4])
-    c = jnp.asarray(corners, jnp.float32)  # [3, 4]
+    c = jnp.asarray(corners, jnp.float32)  # [3, 4] (sx, sy, sz, q)
     setup = geometry.triangle_setup_from_corners(
         c[0:1], c[1:2], c[2:3], w, h, cull_backfaces
     )
     z, tri = rasterize_ref(setup.coef, setup.valid, h, w)
-    win = (tri >= 0) & (z < fb.depth)
-    src = jnp.asarray(color, jnp.float32)
-    from dtrenderer_tpu.utils.color import blend_over
 
-    blended = blend_over(jnp.broadcast_to(src, fb.color.shape), fb.color)
-    return state._replace(
-        fb=Framebuffer(
-            color=jnp.where(win[..., None], blended, fb.color),
-            depth=jnp.where(win, z, fb.depth),
-        )
+    # per-corner attrs [1, 3, 16]: q, u*q, v*q, rgba*q, n*q(0), pad
+    q = c[:, 3:4]  # [3, 1]
+    uv = jnp.asarray([uv0, uv1, uv2], jnp.float32)  # [3, 2]
+    rgba = jnp.broadcast_to(jnp.asarray(color, jnp.float32), (3, 4))
+    attrs = jnp.concatenate(
+        [q, uv * q, rgba * q, jnp.zeros((3, 9), jnp.float32)], axis=-1
+    )[None]  # [1, 3, 16]
+    tex = texture if texture is not None else jnp.ones((1, 1, 4), jnp.float32)
+    out = shade_deferred(
+        fb, z, tri, setup.coef, attrs, tex, sampling_mode, "none", make_light()
     )
+    return state._replace(fb=out)
 
 
 def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs) -> RenderState:

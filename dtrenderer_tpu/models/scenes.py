@@ -179,7 +179,8 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,
                        frame_height=frame_height, frame_width=frame_width,
-                       raster_opts=opts)
+                       raster_opts=opts,
+                       near_clip=False)  # soup never crosses the near plane
         return fb.color, fb.depth
 
     return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame)

@@ -29,18 +29,15 @@ def _perturb(args, acc):
     eps = acc * jnp.float32(1e-45)
     eps_i = (eps != 0).astype(jnp.int32)
     leaves, treedef = jax.tree.flatten(args)
-    done = False
     out = []
+    # Perturb EVERY leaf: a function may discard some inputs (e.g. a frame fn
+    # clears the framebuffer it was handed), and any un-perturbed path lets XLA
+    # hoist that computation out of the timing loop.
     for leaf in leaves:
-        if not done and hasattr(leaf, "dtype"):
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                out.append(leaf + eps.astype(leaf.dtype))
-                done = True
-            elif jnp.issubdtype(leaf.dtype, jnp.integer):
-                out.append(leaf + eps_i.astype(leaf.dtype))
-                done = True
-            else:
-                out.append(leaf)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            out.append(leaf + eps.astype(leaf.dtype))
+        elif hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer):
+            out.append(leaf + eps_i.astype(leaf.dtype))
         else:
             out.append(leaf)
     return jax.tree.unflatten(treedef, out)

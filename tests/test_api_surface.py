@@ -1,0 +1,55 @@
+"""Public API surface tests (api.py): the DTRRender_* verbs behave as a reference
+user expects — including the textured direct-triangle call."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu import api
+from dtrenderer_tpu.models import primitives
+from dtrenderer_tpu.utils.color import rgba
+
+
+def test_render_triangle_textured_perspective():
+    st = api.clear(api.new_state(64, 64), rgba(0, 0, 0, 1))
+    tex = primitives.checkerboard(16, 2, (1, 0, 0, 1), (0, 0, 1, 1))
+    st = api.render_triangle(
+        st, (8, 8, 0.5, 1.0), (56, 8, 0.5, 1.0), (8, 56, 0.5, 1.0),
+        texture=tex, uv0=(0, 1), uv1=(1, 1), uv2=(0, 0),
+    )
+    c = np.asarray(st.fb.color)
+    # interior covered and textured with two distinct colors
+    assert c[20, 20, 3] == 1.0
+    reds = (c[..., 0] > 0.5) & (c[..., 2] < 0.5)
+    blues = (c[..., 2] > 0.5) & (c[..., 0] < 0.5)
+    assert reds.sum() > 50 and blues.sum() > 50, (reds.sum(), blues.sum())
+    # depth written
+    assert np.isfinite(np.asarray(st.fb.depth)[20, 20])
+
+
+def test_render_triangle_flat_color_depth_test():
+    st = api.clear(api.new_state(32, 32), rgba(0, 0, 0, 1))
+    st = api.render_triangle(st, (2, 2, 0.5), (30, 2, 0.5), (2, 30, 0.5),
+                             color=rgba(0, 1, 0, 1))
+    # a farther triangle must lose the z-test
+    st = api.render_triangle(st, (2, 2, 0.9), (30, 2, 0.9), (2, 30, 0.9),
+                             color=rgba(1, 0, 0, 1))
+    c = np.asarray(st.fb.color)
+    assert c[10, 10, 1] > 0.9 and c[10, 10, 0] < 0.1
+
+
+def test_full_frame_through_api():
+    st = api.new_state(128, 96)  # new_state(width, height)
+    st = api.clear(st, rgba(0.1, 0.1, 0.2, 1))
+    mesh = primitives.cube()
+    from dtrenderer_tpu.utils import math3d as m3
+
+    proj = m3.perspective(np.pi / 3, 128 / 96, 0.1, 50.0)
+    st = api.render_mesh(st, mesh, m3.model_matrix((0, 0, -4)), proj,
+                         texture=primitives.checkerboard(8, 2))
+    st = api.render_rectangle(st, (4, 4), (30, 16), rgba(1, 0, 0, 0.5))
+    st = api.render_line(st, (0, 90), (127, 70), rgba(1, 1, 0, 1))
+    st = api.render_text(st, "ok", (40, 4))
+    img = np.asarray(api.finish_frame(st))
+    assert img.shape == (96, 128, 4) and img.dtype == np.uint8
+    assert img[..., 3].min() == 255  # opaque frame
+    assert len(np.unique(img[..., 0])) > 5  # actual content variety
