@@ -55,7 +55,8 @@ def _gather128(seg, idx):
 
 
 def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
-                 bilinear: bool, with_phong: bool):
+                 bilinear: bool, with_phong: bool, chunk: int = CHUNK,
+                 skip_shading: bool = False):
     n_pix = tile_h * tile_w
     assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
     k_chunks = capacity // 128
@@ -91,8 +92,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         def chunk_body(c, carry):
             best_z, best_id, best_slot = carry  # [1, N]
-            k0 = pl.multiple_of(c * CHUNK, CHUNK)
-            s = setup_ref[0, 0, pl.ds(k0, CHUNK), :]  # [CHUNK, C]
+            k0 = pl.multiple_of(c * chunk, chunk)
+            s = setup_ref[0, 0, pl.ds(k0, chunk), :]  # [chunk, C]
 
             def col(i):
                 return s[:, i:i + 1]  # [CHUNK, 1]
@@ -123,7 +124,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             hit = inside & (zsel == zmin)
             idsel = jnp.where(hit, ids, INT_MAX)
             idmin = jnp.min(idsel, axis=0, keepdims=True)
-            slots = k0 + jax.lax.broadcasted_iota(I32, (CHUNK, 1), 0)
+            slots = k0 + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
             slotsel = jnp.where(hit & (ids == idmin), slots, INT_MAX)
             slotmin = jnp.min(slotsel, axis=0, keepdims=True)
 
@@ -140,9 +141,13 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             jnp.full((1, n_pix), 0, I32),
         )
         best_z, _best_id, best_slot = jax.lax.fori_loop(
-            0, pl.cdiv(n, CHUNK), chunk_body, init
+            0, pl.cdiv(n, chunk), chunk_body, init
         )
         z_ref[...] = best_z.reshape(1, 1, 1, n_pix)
+
+        if skip_shading:  # perf-debug mode: visibility only
+            src_ref[...] = jnp.zeros((1, 1, 4, n_pix), F32)
+            return
 
         # ------------------------- phase 2: shading ---------------------------
         # One in-kernel transpose to channel-major [C, K] (instead of shipping a
@@ -314,17 +319,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "bilinear", "with_phong", "interpret"),
+                     "bilinear", "with_phong", "interpret", "chunk",
+                     "skip_shading"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
-                      bilinear, with_phong, interpret):
+                      bilinear, with_phong, interpret, chunk=CHUNK,
+                      skip_shading=False):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, bilinear,
-                          with_phong)
+                          with_phong, chunk, skip_shading)
     z_flat, src_flat = pl.pallas_call(
         kernel,
         grid=(n_ty, n_tx),
@@ -400,6 +407,8 @@ def render_fused(
     bilinear: bool = False,
     with_phong: bool = True,
     interpret: bool | None = None,
+    chunk: int = CHUNK,
+    skip_shading: bool = False,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4]).
 
@@ -444,5 +453,5 @@ def render_fused(
     return _render_from_bins(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, bilinear, with_phong,
-        interpret,
+        interpret, chunk, skip_shading,
     )
