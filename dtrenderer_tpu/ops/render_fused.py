@@ -5,24 +5,28 @@ This is the TPU-native equivalent of the reference's entire per-pixel hot loop
 (SURVEY.md CS-2 ★HOT LOOP: edge fns -> barycentrics -> z-test -> perspective-correct
 UV -> texel fetch -> light/modulate -> blend) with zero per-pixel HBM random access:
 
-  phase 1 (visibility): walk the tile's binned triangle list in chunks of 8 on the
+  phase 1 (visibility): walk the tile's binned triangle list in chunks on the
     sublane axis, pixels flat on lanes; resolve the winner per pixel as a
-    (min depth, min id) reduction, tracking the winner's BIN SLOT.
-  phase 2 (shading): for each 8x128 pixel group, fetch the winner's 44 setup/attr
-    channels from the tile's channel-major VMEM block by slot — TPU's dynamic
-    lane-gather only spans 128 lanes, so gathers run as a static K/128-chunk loop of
-    select+gather; textures live in VMEM as planar channel rows and are sampled with
-    the same chunked-gather trick (nearest or bilinear), then modulate/Phong-light.
+    (min depth, min id) reduction, carrying the winner's BIN SLOT and its
+    BARYCENTRICS (so phase 2 never re-touches the edge coefficients).
+  phase 2 (shading): per 8x128 pixel batch (built by sublane-concat — Mosaic can't
+    shape-cast lanes to sublanes), fetch the winner's 34 payload channels from the
+    channel-major VMEM block by slot. TPU's dynamic lane-gather spans one 128-lane
+    vreg, so gathers run as a loop of select+gather over 128-entry chunks — over
+    the DYNAMIC [min,max] chunk range only (winner slots and UVs are spatially
+    coherent). Textures live in VMEM as planar channel rows, sampled the same way
+    (nearest or bilinear), then modulate + optional per-pixel Phong.
 
-Blending + depth-merge against the existing framebuffer stay in XLA (pure elementwise,
-fused for free). All formulas/op order mirror FORMULAS.md / ops/geometry.py exactly,
-so images match the scalar oracle and the jnp reference path.
+Blending + depth-merge against the existing framebuffer stay in XLA (pure
+elementwise, fused for free). All formulas/op order mirror FORMULAS.md /
+ops/geometry.py exactly, so images match the scalar oracle and the jnp paths.
 
-Channel layout (C = 51; binning packs [16 coef][id][payload 34]):
+Packed setup channel layout (C = 51; binning packs [16 coef][id][payload 34]):
   0..15 coef  16 id
-  17 tex_base 18 tw 19 th 20 is_phong
-  21..30 corner0 (q, u*q, v*q, r*q, g*q, b*q, a*q, nx*q, ny*q, nz*q)
-  31..40 corner1   41..50 corner2
+  payload (also shipped channel-major as payload_t [34, K]):
+    0 tex_base 1 tw 2 th 3 is_phong
+    4..13 corner0 (q, u*q, v*q, r*q, g*q, b*q, a*q, nx*q, ny*q, nz*q)
+    14..23 corner1   24..33 corner2
 """
 
 from __future__ import annotations
@@ -44,9 +48,9 @@ INT_MAX = jnp.iinfo(jnp.int32).max
 N_CHANNELS = 51
 PAYLOAD_CHANNELS = N_CHANNELS - 17
 
-# payload channel indices WITHIN the packed setup row
-CH_TEXBASE, CH_TW, CH_TH, CH_ISPHONG = 17, 18, 19, 20
-CH_C0 = 21  # corner0 base; corner stride 10
+# payload-relative channel indices
+P_TEXBASE, P_TW, P_TH, P_ISPHONG = 0, 1, 2, 3
+P_C0 = 4  # corner0 base; corner stride 10
 
 
 def _gather128(seg, idx):
@@ -59,11 +63,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  skip_shading: bool = False):
     n_pix = tile_h * tile_w
     assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
-    k_chunks = capacity // 128
-    t_chunks = tex_lanes // 128
 
-    def kernel(counts_ref, off_ref, scal_ref, setup_ref, tex_ref,
-               z_ref, src_ref, tsetup_ref):
+    def kernel(counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
+               tex_ref, z_ref, src_ref):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         n = counts_ref[ti, tj]
@@ -78,11 +80,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         @pl.when(n > 0)
         def _full():
-            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref,
-                       tex_ref, z_ref, src_ref, tsetup_ref)
+            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
+                       tex_ref, z_ref, src_ref)
 
-    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref,
-                   tex_ref, z_ref, src_ref, tsetup_ref):
+    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
+                   tex_ref, z_ref, src_ref):
         # ------------------------- phase 1: visibility -------------------------
         flat = jax.lax.broadcasted_iota(I32, (1, n_pix), 1)
         fx = flat % tile_w
@@ -91,12 +93,12 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         py = (fy + y0).astype(F32) + F32(0.5)
 
         def chunk_body(c, carry):
-            best_z, best_id, best_slot = carry  # [1, N]
+            best_z, best_id, best_slot, bb0, bb1, bb2 = carry  # [1, N]
             k0 = pl.multiple_of(c * chunk, chunk)
             s = setup_ref[0, 0, pl.ds(k0, chunk), :]  # [chunk, C]
 
             def col(i):
-                return s[:, i:i + 1]  # [CHUNK, 1]
+                return s[:, i:i + 1]  # [chunk, 1]
 
             A0, B0, C0 = col(0), col(1), col(2)
             A1, B1, C1 = col(3), col(4), col(5)
@@ -106,6 +108,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             tl0, tl1, tl2 = col(13), col(14), col(15)
             ids = jax.lax.bitcast_convert_type(col(16), I32)
 
+            # FORMULAS.md coverage + depth (same op order as geometry.py).
             E0 = (A0 * px + B0 * py) + C0
             E1 = (A1 * px + B1 * py) + C1
             E2 = (A2 * px + B2 * py) + C2
@@ -124,23 +127,33 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             hit = inside & (zsel == zmin)
             idsel = jnp.where(hit, ids, INT_MAX)
             idmin = jnp.min(idsel, axis=0, keepdims=True)
+            win = hit & (ids == idmin)  # exactly the winner row (ids unique)
             slots = k0 + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
-            slotsel = jnp.where(hit & (ids == idmin), slots, INT_MAX)
-            slotmin = jnp.min(slotsel, axis=0, keepdims=True)
+            slotmin = jnp.min(jnp.where(win, slots, INT_MAX), axis=0,
+                              keepdims=True)
+            # The winner's barycentrics (phase 2 reuses them verbatim).
+            wb0 = jnp.min(jnp.where(win, b0, jnp.inf), axis=0, keepdims=True)
+            wb1 = jnp.min(jnp.where(win, b1, jnp.inf), axis=0, keepdims=True)
+            wb2 = jnp.min(jnp.where(win, b2, jnp.inf), axis=0, keepdims=True)
 
             take = (zmin < best_z) | ((zmin == best_z) & (idmin < best_id))
             return (
                 jnp.where(take, zmin, best_z),
                 jnp.where(take, idmin, best_id),
                 jnp.where(take, slotmin, best_slot),
+                jnp.where(take, wb0, bb0),
+                jnp.where(take, wb1, bb1),
+                jnp.where(take, wb2, bb2),
             )
 
+        zero = jnp.zeros((1, n_pix), F32)
         init = (
             jnp.full((1, n_pix), jnp.inf, F32),
             jnp.full((1, n_pix), INT_MAX, I32),
             jnp.full((1, n_pix), 0, I32),
+            zero, zero, zero,
         )
-        best_z, _best_id, best_slot = jax.lax.fori_loop(
+        best_z, _best_id, best_slot, bb0, bb1, bb2 = jax.lax.fori_loop(
             0, pl.cdiv(n, chunk), chunk_body, init
         )
         z_ref[...] = best_z.reshape(1, 1, 1, n_pix)
@@ -150,168 +163,201 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             return
 
         # ------------------------- phase 2: shading ---------------------------
-        # One in-kernel transpose to channel-major [C, K] (instead of shipping a
-        # second pre-transposed copy through HBM — halves binning memory/traffic).
-        tsetup_ref[...] = jnp.transpose(setup_ref[0, 0], (1, 0))
         n_batches = n_pix // 1024
         for pt in range(n_batches):
-            # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
-            # CONCATENATING [1,128] slices (Mosaic cannot shape-cast lanes into
-            # sublanes, but sublane concat is a plain pack). Row r of every
-            # [8,128] tensor below is flat pixels [pt*1024 + r*128, ... + 128).
-            def rows8(vec):
-                return jnp.concatenate(
-                    [vec[0:1, (pt * 8 + r) * 128:(pt * 8 + r + 1) * 128]
-                     for r in range(8)],
-                    axis=0,
-                )
-
-            sl = rows8(best_slot)
-            covered = rows8(best_z) != jnp.inf
-
-            # Skip fully-uncovered batches (background/sky): write zeros only.
-            cov_any = jnp.any(covered)
+            # Skip fully-uncovered batches (background/sky) BEFORE any batch
+            # prep: one reduction over the contiguous [1,1024] depth slice.
+            cov_any = jnp.any(
+                best_z[0:1, pt * 1024:(pt + 1) * 1024] != jnp.inf
+            )
 
             @pl.when(jnp.logical_not(cov_any))
             def _sky():
-                zero = jnp.zeros((1, 128), F32)
+                zrow = jnp.zeros((1, 128), F32)
                 for ch in range(4):
-                    for r in range(8):
+                    for row in range(8):
                         src_ref[0, 0, ch:ch + 1,
-                                pl.ds((pt * 8 + r) * 128, 128)] = zero
+                                pl.ds((pt * 8 + row) * 128, 128)] = zrow
 
             @pl.when(cov_any)
             def _shade():
-                _shade_batch(pt, sl, covered, x0, y0, scal_ref, tsetup_ref,
-                             tex_ref, src_ref)
+                _shade_batch(pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
+                             payload_t_ref, tex_ref, src_ref)
 
-    def _shade_batch(pt, sl, covered, x0, y0, scal_ref, tsetup_ref, tex_ref,
-                     src_ref):
-            light_x = scal_ref[0, 0]
-            light_y = scal_ref[0, 1]
-            light_z = scal_ref[0, 2]
-            ambient = scal_ref[0, 3]
+    def _shade_batch(pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
+                     payload_t_ref, tex_ref, src_ref):
+        # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
+        # CONCATENATING [1,128] slices. Row r covers flat pixels
+        # [pt*1024 + r*128, ... + 128).
+        def rows8(vec):
+            return jnp.concatenate(
+                [vec[0:1, (pt * 8 + r) * 128:(pt * 8 + r + 1) * 128]
+                 for r in range(8)],
+                axis=0,
+            )
 
-            # Gather all channels for this pixel batch: chunked 128-lane gathers.
-            vals = [jnp.zeros((8, 128), F32) for _ in range(N_CHANNELS)]
-            for j in range(k_chunks):
-                loc = sl - j * 128
+        sl = rows8(best_slot)
+        covered = rows8(best_z) != jnp.inf
+        b0 = rows8(bb0)
+        b1 = rows8(bb1)
+        b2 = rows8(bb2)
+        light_x = scal_ref[0, 0]
+        light_y = scal_ref[0, 1]
+        light_z = scal_ref[0, 2]
+        ambient = scal_ref[0, 3]
+
+        # Winner slots within a batch are spatially coherent: loop only the
+        # dynamic [min, max] 128-slot chunk range actually referenced.
+        sl_c = jnp.clip(sl, 0, capacity - 1)
+        jmin = jnp.min(sl_c) // 128
+        jmax = jnp.max(sl_c) // 128
+
+        def gather_chunk(j, vals):
+            start = pl.multiple_of(j * 128, 128)
+            loc = sl_c - j * 128
+            sel = (loc >= 0) & (loc < 128)
+            loc = jnp.clip(loc, 0, 127)
+            out = []
+            for p in range(PAYLOAD_CHANNELS):
+                seg = jnp.broadcast_to(
+                    payload_t_ref[0, 0, p:p + 1, pl.ds(start, 128)], (8, 128)
+                )
+                out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
+            return tuple(out)
+
+        vals = tuple(jnp.zeros((8, 128), F32) for _ in range(PAYLOAD_CHANNELS))
+        vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
+
+        def interp(off):
+            a0 = vals[P_C0 + off]
+            a1 = vals[P_C0 + 10 + off]
+            a2 = vals[P_C0 + 20 + off]
+            return (b0 * a0 + b1 * a1) + b2 * a2
+
+        qf = interp(0)
+        inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
+        u = interp(1) * inv_qf
+        v = interp(2) * inv_qf
+        r = interp(3) * inv_qf
+        g = interp(4) * inv_qf
+        bcol = interp(5) * inv_qf
+        a = interp(6) * inv_qf
+
+        # Texture sampling from the VMEM LUT (FORMULAS.md formulas).
+        tw = vals[P_TW]
+        th = vals[P_TH]
+        base = vals[P_TEXBASE]
+
+        def fetch(tidx):
+            """tidx [8,128] i32 absolute LUT index -> 4 channel values.
+
+            UVs are coherent within a batch: loop only the dynamic [min, max]
+            128-texel chunk range touched."""
+            tidx = jnp.clip(tidx, 0, tex_lanes - 1)  # NaN/garbage guard
+            tjmin = jnp.min(tidx) // 128
+            tjmax = jnp.max(tidx) // 128
+
+            def body(j, out):
+                start = pl.multiple_of(j * 128, 128)
+                loc = tidx - j * 128
                 sel = (loc >= 0) & (loc < 128)
                 loc = jnp.clip(loc, 0, 127)
-                for ch in range(N_CHANNELS):
-                    if ch == 16:
-                        continue  # id bits unused in shading
+                res = []
+                for ch in range(4):
                     seg = jnp.broadcast_to(
-                        tsetup_ref[ch:ch + 1, pl.ds(j * 128, 128)], (8, 128)
+                        tex_ref[ch:ch + 1, pl.ds(start, 128)], (8, 128)
                     )
-                    vals[ch] = jnp.where(sel, _gather128(seg, loc), vals[ch])
+                    res.append(jnp.where(sel, _gather128(seg, loc), out[ch]))
+                return tuple(res)
 
-            # Pixel coordinates (flat = pt*1024 + r*128 + lane).
-            rr = jax.lax.broadcasted_iota(I32, (8, 128), 0)
-            ll = jax.lax.broadcasted_iota(I32, (8, 128), 1)
-            flat8 = pt * 1024 + rr * 128 + ll
-            gx = (flat8 % tile_w + x0).astype(F32) + F32(0.5)
-            gy = (flat8 // tile_w + y0).astype(F32) + F32(0.5)
+            out = tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+            return jax.lax.fori_loop(tjmin, tjmax + 1, body, out)
 
-            # Barycentrics at the winner (identical formulas to phase 1).
-            E0 = (vals[0] * gx + vals[1] * gy) + vals[2]
-            E1 = (vals[3] * gx + vals[4] * gy) + vals[5]
-            E2 = (vals[6] * gx + vals[7] * gy) + vals[8]
-            b0 = E0 * vals[9]
-            b1 = E1 * vals[9]
-            b2 = E2 * vals[9]
+        def texel_index(txf, tyf):
+            tx = jnp.clip(txf, 0, tw - 1)
+            ty = jnp.clip(tyf, 0, th - 1)
+            return (base + ty * tw + tx).astype(I32)
 
-            def interp(off):
-                a0 = vals[CH_C0 + off]
-                a1 = vals[CH_C0 + 10 + off]
-                a2 = vals[CH_C0 + 20 + off]
-                return (b0 * a0 + b1 * a1) + b2 * a2
+        if not bilinear:
+            txf = jnp.floor(u * tw)
+            tyf = jnp.floor((F32(1.0) - v) * th)
+            texel = fetch(texel_index(txf, tyf))
+        else:
+            fxs = u * tw - F32(0.5)
+            fys = (F32(1.0) - v) * th - F32(0.5)
+            x0f = jnp.floor(fxs)
+            y0f = jnp.floor(fys)
+            ax = fxs - x0f
+            ay = fys - y0f
+            taps = [
+                texel_index(x0f, y0f),
+                texel_index(x0f + 1, y0f),
+                texel_index(x0f, y0f + 1),
+                texel_index(x0f + 1, y0f + 1),
+            ]
+            taps = [jnp.clip(tp, 0, tex_lanes - 1) for tp in taps]
+            # One loop over the UNION of all four taps' chunk ranges: the taps
+            # are within one texel row of each other, so ranges nearly coincide.
+            tjmin = jnp.min(jnp.stack([jnp.min(tp) for tp in taps])) // 128
+            tjmax = jnp.max(jnp.stack([jnp.max(tp) for tp in taps])) // 128
 
-            qf = interp(0)
-            inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
-            u = interp(1) * inv_qf
-            v = interp(2) * inv_qf
-            r = interp(3) * inv_qf
-            g = interp(4) * inv_qf
-            bcol = interp(5) * inv_qf
-            a = interp(6) * inv_qf
-
-            # Texture sampling from the VMEM LUT (FORMULAS.md formulas).
-            tw = vals[CH_TW]
-            th = vals[CH_TH]
-            base = vals[CH_TEXBASE]
-
-            def fetch(tidx):
-                """tidx [8,128] i32 absolute LUT index -> 4 channel values."""
-                out = [jnp.zeros((8, 128), F32) for _ in range(4)]
-                for j in range(t_chunks):
-                    loc = tidx - j * 128
+            def body4(j, out):
+                start = pl.multiple_of(j * 128, 128)
+                segs = [tex_ref[ch:ch + 1, pl.ds(start, 128)] for ch in range(4)]
+                segs = [jnp.broadcast_to(s_, (8, 128)) for s_ in segs]
+                res = [list(o) for o in out]
+                for ti_, tp in enumerate(taps):
+                    loc = tp - j * 128
                     sel = (loc >= 0) & (loc < 128)
                     loc = jnp.clip(loc, 0, 127)
                     for ch in range(4):
-                        seg = jnp.broadcast_to(
-                            tex_ref[ch:ch + 1, pl.ds(j * 128, 128)], (8, 128)
+                        res[ti_][ch] = jnp.where(
+                            sel, _gather128(segs[ch], loc), out[ti_][ch]
                         )
-                        out[ch] = jnp.where(sel, _gather128(seg, loc), out[ch])
-                return out
+                return tuple(tuple(r) for r in res)
 
-            def texel_index(txf, tyf):
-                tx = jnp.clip(txf, 0, tw - 1)
-                ty = jnp.clip(tyf, 0, th - 1)
-                return (base + ty * tw + tx).astype(I32)
+            zeros4 = tuple(
+                tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+                for _ in range(4)
+            )
+            t00, t10, t01, t11 = jax.lax.fori_loop(tjmin, tjmax + 1, body4,
+                                                   zeros4)
 
-            if not bilinear:
-                txf = jnp.floor(u * tw)
-                tyf = jnp.floor((F32(1.0) - v) * th)
-                t0 = fetch(texel_index(txf, tyf))
-                texel = t0
-            else:
-                fxs = u * tw - F32(0.5)
-                fys = (F32(1.0) - v) * th - F32(0.5)
-                x0f = jnp.floor(fxs)
-                y0f = jnp.floor(fys)
-                ax = fxs - x0f
-                ay = fys - y0f
-                t00 = fetch(texel_index(x0f, y0f))
-                t10 = fetch(texel_index(x0f + 1, y0f))
-                t01 = fetch(texel_index(x0f, y0f + 1))
-                t11 = fetch(texel_index(x0f + 1, y0f + 1))
+            def lerp2(p, q2, t):
+                return p + (q2 - p) * t
 
-                def lerp2(p, q2, t):
-                    return p + (q2 - p) * t
+            texel = [
+                lerp2(lerp2(t00[c], t10[c], ax), lerp2(t01[c], t11[c], ax), ay)
+                for c in range(4)
+            ]
 
-                texel = [
-                    lerp2(lerp2(t00[c], t10[c], ax), lerp2(t01[c], t11[c], ax), ay)
-                    for c in range(4)
-                ]
+        src = [texel[0] * r, texel[1] * g, texel[2] * bcol, texel[3] * a]
 
-            src = [texel[0] * r, texel[1] * g, texel[2] * bcol, texel[3] * a]
+        if with_phong:
+            # FORMULAS.md lighting: true divide + sqrt (no reciprocal-multiply)
+            # so values match shading.light_term / the oracle.
+            nx = interp(7) * inv_qf
+            ny = interp(8) * inv_qf
+            nz = interp(9) * inv_qf
+            d = (nx * nx + ny * ny) + nz * nz
+            nlen = jnp.sqrt(jnp.where(d > 0, d, F32(1.0)))
+            nxh, nyh, nzh = nx / nlen, ny / nlen, nz / nlen
+            ld = (light_x * light_x + light_y * light_y) + light_z * light_z
+            llen = jnp.sqrt(ld)
+            lxh, lyh, lzh = light_x / llen, light_y / llen, light_z / llen
+            ndl = (nxh * lxh + nyh * lyh) + nzh * lzh
+            ndl = jnp.maximum(ndl, F32(0.0))
+            term = ambient + (F32(1.0) - ambient) * ndl
+            term = jnp.where(vals[P_ISPHONG] > 0, term, F32(1.0))
+            src = [src[0] * term, src[1] * term, src[2] * term, src[3]]
 
-            if with_phong:
-                # FORMULAS.md lighting: true divide + sqrt (no reciprocal-multiply)
-                # so values match shading.light_term / the oracle.
-                nx = interp(7) * inv_qf
-                ny = interp(8) * inv_qf
-                nz = interp(9) * inv_qf
-                d = (nx * nx + ny * ny) + nz * nz
-                nlen = jnp.sqrt(jnp.where(d > 0, d, F32(1.0)))
-                nxh, nyh, nzh = nx / nlen, ny / nlen, nz / nlen
-                ld = (light_x * light_x + light_y * light_y) + light_z * light_z
-                llen = jnp.sqrt(ld)
-                lxh, lyh, lzh = light_x / llen, light_y / llen, light_z / llen
-                ndl = (nxh * lxh + nyh * lyh) + nzh * lzh
-                ndl = jnp.maximum(ndl, F32(0.0))
-                term = ambient + (F32(1.0) - ambient) * ndl
-                term = jnp.where(vals[CH_ISPHONG] > 0, term, F32(1.0))
-                src = [src[0] * term, src[1] * term, src[2] * term, src[3]]
-
-            for ch in range(4):
-                out = jnp.where(covered, src[ch], F32(0.0))
-                for row in range(8):
-                    src_ref[
-                        0, 0, ch:ch + 1,
-                        pl.ds((pt * 8 + row) * 128, 128),
-                    ] = out[row:row + 1, :]
+        for ch in range(4):
+            out = jnp.where(covered, src[ch], F32(0.0))
+            for row in range(8):
+                src_ref[
+                    0, 0, ch:ch + 1,
+                    pl.ds((pt * 8 + row) * 128, 128),
+                ] = out[row:row + 1, :]
 
     return kernel
 
@@ -330,6 +376,10 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
 
+    # Channel-major copy of the payload channels for phase 2's slot-gathers
+    # (a cheap XLA transpose; phase 1 reads the row-major block).
+    payload_t = jnp.transpose(setup[..., 17:], (0, 1, 3, 2))
+
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, bilinear,
                           with_phong, chunk, skip_shading)
     z_flat, src_flat = pl.pallas_call(
@@ -341,9 +391,10 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, capacity, N_CHANNELS), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PAYLOAD_CHANNELS, capacity),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((N_CHANNELS, capacity), F32)],
         out_specs=[
             pl.BlockSpec((1, 1, 1, n_pix), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -352,10 +403,10 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_ty, n_tx, 1, n_pix), F32),
-            jax.ShapeDtypeStruct((n_ty, n_tx, 4, n_pix), I32 if False else F32),
+            jax.ShapeDtypeStruct((n_ty, n_tx, 4, n_pix), F32),
         ],
         interpret=interpret,
-    )(counts, offsets, scalars, setup, tex_lut)
+    )(counts, offsets, scalars, setup, payload_t, tex_lut)
 
     def unflatten(a, ch):
         a = a.reshape(n_ty, n_tx, ch, tile_h, tile_w)
