@@ -63,6 +63,8 @@ def main():
             [DrawSpec(sphere, mdl, texture=tex, shading="phong")
              for mdl in models],
             light=light, sampling_mode="bilinear",
+            # tuned via tools/tune.py; bin overflow verified 0 (maxcount 109)
+            raster_opts=dict(tile_h=64, tile_w=128, capacity=256),
         )
         return fb.color, fb.depth
 

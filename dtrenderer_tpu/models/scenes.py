@@ -175,6 +175,8 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
         opts = (dict(capacity=capacity, small_span=8, tile_h=16)
                 if backend in ("pallas", "fused") else None)
+        if backend == "fused":
+            opts["chunk"] = 16  # tiny-triangle scenes favor wider chunks
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,
