@@ -60,30 +60,34 @@ def _gather128(seg, idx):
 
 def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  bilinear: bool, with_phong: bool, chunk: int = CHUNK,
-                 skip_shading: bool = False):
+                 skip_shading: bool = False, cols: int = 1):
     n_pix = tile_h * tile_w
     assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
 
     def kernel(counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
                tex_ref, z_ref, src_ref):
+        # One grid step processes `cols` adjacent tile columns (amortizes the
+        # fixed per-step cost, which dominates for small tiles).
         ti = pl.program_id(0)
-        tj = pl.program_id(1)
-        n = counts_ref[ti, tj]
-        y0 = ti * tile_h + off_ref[0, 0]
-        x0 = tj * tile_w + off_ref[0, 1]
+        tjb = pl.program_id(1)
+        for g in range(cols):
+            tj = tjb * cols + g
+            n = counts_ref[ti, tj]
+            y0 = ti * tile_h + off_ref[0, 0]
+            x0 = tj * tile_w + off_ref[0, 1]
 
-        # Empty tile: write background and skip both phases entirely.
-        @pl.when(n == 0)
-        def _empty():
-            z_ref[...] = jnp.full((1, 1, 1, n_pix), jnp.inf, F32)
-            src_ref[...] = jnp.zeros((1, 1, 4, n_pix), F32)
+            # Empty tile: write background and skip both phases entirely.
+            @pl.when(n == 0)
+            def _empty(g=g):
+                z_ref[0, g, 0:1, :] = jnp.full((1, n_pix), jnp.inf, F32)
+                src_ref[0, g, :, :] = jnp.zeros((4, n_pix), F32)
 
-        @pl.when(n > 0)
-        def _full():
-            _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
-                       tex_ref, z_ref, src_ref)
+            @pl.when(n > 0)
+            def _full(g=g, n=n, y0=y0, x0=x0):
+                _tile_body(g, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
+                           tex_ref, z_ref, src_ref)
 
-    def _tile_body(ti, tj, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
+    def _tile_body(gcol, n, y0, x0, scal_ref, setup_ref, payload_t_ref,
                    tex_ref, z_ref, src_ref):
         # ------------------------- phase 1: visibility -------------------------
         flat = jax.lax.broadcasted_iota(I32, (1, n_pix), 1)
@@ -95,7 +99,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         def chunk_body(c, carry):
             best_z, best_id, best_slot, bb0, bb1, bb2 = carry  # [1, N]
             k0 = pl.multiple_of(c * chunk, chunk)
-            s = setup_ref[0, 0, pl.ds(k0, chunk), :]  # [chunk, C]
+            s = setup_ref[0, gcol, pl.ds(k0, chunk), :]  # [chunk, C]
 
             def col(i):
                 return s[:, i:i + 1]  # [chunk, 1]
@@ -156,10 +160,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         best_z, _best_id, best_slot, bb0, bb1, bb2 = jax.lax.fori_loop(
             0, pl.cdiv(n, chunk), chunk_body, init
         )
-        z_ref[...] = best_z.reshape(1, 1, 1, n_pix)
+        z_ref[0, gcol, 0:1, :] = best_z
 
         if skip_shading:  # perf-debug mode: visibility only
-            src_ref[...] = jnp.zeros((1, 1, 4, n_pix), F32)
+            src_ref[0, gcol, :, :] = jnp.zeros((4, n_pix), F32)
             return
 
         # ------------------------- phase 2: shading ---------------------------
@@ -172,19 +176,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             )
 
             @pl.when(jnp.logical_not(cov_any))
-            def _sky():
+            def _sky(pt=pt):
                 zrow = jnp.zeros((1, 128), F32)
                 for ch in range(4):
                     for row in range(8):
-                        src_ref[0, 0, ch:ch + 1,
+                        src_ref[0, gcol, ch:ch + 1,
                                 pl.ds((pt * 8 + row) * 128, 128)] = zrow
 
             @pl.when(cov_any)
-            def _shade():
-                _shade_batch(pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
-                             payload_t_ref, tex_ref, src_ref)
+            def _shade(pt=pt):
+                _shade_batch(gcol, pt, best_z, best_slot, bb0, bb1, bb2,
+                             scal_ref, payload_t_ref, tex_ref, src_ref)
 
-    def _shade_batch(pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
+    def _shade_batch(gcol, pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
                      payload_t_ref, tex_ref, src_ref):
         # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
         # CONCATENATING [1,128] slices. Row r covers flat pixels
@@ -220,7 +224,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             out = []
             for p in range(PAYLOAD_CHANNELS):
                 seg = jnp.broadcast_to(
-                    payload_t_ref[0, 0, p:p + 1, pl.ds(start, 128)], (8, 128)
+                    payload_t_ref[0, gcol, p:p + 1, pl.ds(start, 128)], (8, 128)
                 )
                 out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
             return tuple(out)
@@ -355,7 +359,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             out = jnp.where(covered, src[ch], F32(0.0))
             for row in range(8):
                 src_ref[
-                    0, 0, ch:ch + 1,
+                    0, gcol, ch:ch + 1,
                     pl.ds((pt * 8 + row) * 128, 128),
                 ] = out[row:row + 1, :]
 
@@ -366,47 +370,57 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "bilinear", "with_phong", "interpret", "chunk",
-                     "skip_shading"),
+                     "skip_shading", "cols"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
                       bilinear, with_phong, interpret, chunk=CHUNK,
-                      skip_shading=False):
+                      skip_shading=False, cols=1):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
+
+    cols = max(1, min(cols, n_tx))
+    pad_tx = (-n_tx) % cols
+    if pad_tx:
+        counts = jnp.pad(counts, ((0, 0), (0, pad_tx)))
+        setup = jnp.pad(setup, ((0, 0), (0, pad_tx), (0, 0), (0, 0)))
+    n_txp = n_tx + pad_tx
 
     # Channel-major copy of the payload channels for phase 2's slot-gathers
     # (a cheap XLA transpose; phase 1 reads the row-major block).
     payload_t = jnp.transpose(setup[..., 17:], (0, 1, 3, 2))
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, bilinear,
-                          with_phong, chunk, skip_shading)
+                          with_phong, chunk, skip_shading, cols)
     z_flat, src_flat = pl.pallas_call(
         kernel,
-        grid=(n_ty, n_tx),
+        grid=(n_ty, n_txp // cols),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, capacity, N_CHANNELS), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PAYLOAD_CHANNELS, capacity),
+            pl.BlockSpec((1, cols, capacity, N_CHANNELS),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, PAYLOAD_CHANNELS, capacity),
                          lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, n_pix), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, cols, 1, n_pix), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4, n_pix), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, cols, 4, n_pix), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_ty, n_tx, 1, n_pix), F32),
-            jax.ShapeDtypeStruct((n_ty, n_tx, 4, n_pix), F32),
+            jax.ShapeDtypeStruct((n_ty, n_txp, 1, n_pix), F32),
+            jax.ShapeDtypeStruct((n_ty, n_txp, 4, n_pix), F32),
         ],
         interpret=interpret,
     )(counts, offsets, scalars, setup, payload_t, tex_lut)
+    if pad_tx:
+        z_flat = z_flat[:, :n_tx]
+        src_flat = src_flat[:, :n_tx]
 
     def unflatten(a, ch):
         a = a.reshape(n_ty, n_tx, ch, tile_h, tile_w)
@@ -460,6 +474,7 @@ def render_fused(
     interpret: bool | None = None,
     chunk: int = CHUNK,
     skip_shading: bool = False,
+    cols: int = 1,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4]).
 
@@ -504,5 +519,5 @@ def render_fused(
     return _render_from_bins(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, bilinear, with_phong,
-        interpret, chunk, skip_shading,
+        interpret, chunk, skip_shading, cols,
     )
