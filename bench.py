@@ -52,6 +52,18 @@ def main():
     ]
 
     backend = "fused"
+    raster_opts = dict(tile_h=64, tile_w=128, capacity=256)
+
+    # Pre-flight: assert zero bin overflow (overflow = silent triangle drops).
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene
+
+    specs_audit = [DrawSpec(sphere, mdl, texture=tex, shading="phong")
+                   for mdl in models]
+    overflow, maxcount, cap = audit_scene(proj, specs_audit, h, w, light=light,
+                                          raster_opts=raster_opts)
+    print(f"bench: bin audit overflow={overflow} maxcount={maxcount}/{cap}",
+          file=sys.stderr)
+    assert overflow == 0, "bin capacity overflow — raise capacity"
 
     def frame(color, depth, t):
         from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
@@ -63,8 +75,7 @@ def main():
             [DrawSpec(sphere, mdl, texture=tex, shading="phong")
              for mdl in models],
             light=light, sampling_mode="bilinear",
-            # tuned via tools/tune.py; bin overflow verified 0 (maxcount 109)
-            raster_opts=dict(tile_h=64, tile_w=128, capacity=256),
+            raster_opts=raster_opts,  # tuned via tools/tune.py; audited above
         )
         return fb.color, fb.depth
 

@@ -173,10 +173,12 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
     def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
-        opts = (dict(capacity=capacity, small_span=8, tile_h=16)
+        # tile_h=32/cap2048 audited zero-overflow for 1M tris at 4K
+        # (tests/test_overflow_audit.py pattern; tile 16 drops broad tris there)
+        opts = (dict(capacity=capacity, small_span=8)
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
-            opts["chunk"] = 16  # tiny-triangle scenes favor wider chunks
+            opts["chunk"] = 16
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,

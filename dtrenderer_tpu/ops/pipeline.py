@@ -346,6 +346,51 @@ def _finish_draw(out, fb, mesh, setup, z, tri, return_counters):
     return out, counters
 
 
+def audit_scene(view_proj, draws, height, width, light=None,
+                cull_backfaces=True, near_clip=True,
+                raster_opts: dict | None = None):
+    """Pre-flight binning audit for a batched scene: returns (overflow,
+    max_count, capacity). Run this once per scene/config (it is NOT jitted) —
+    a nonzero overflow means the chosen bin capacity SILENTLY DROPS triangles
+    and must be raised. bench.py and the scene tests assert overflow == 0.
+    """
+    from dtrenderer_tpu.ops.binning import bin_triangles
+    from dtrenderer_tpu.ops.shading import make_light
+
+    if light is None:
+        light = make_light()
+    opts = dict(raster_opts or {})
+    opts.pop("chunk", None)
+    opts.pop("cols", None)
+    opts.pop("skip_shading", None)
+    # mirror render_fused's defaults (binning's own differ)
+    opts.setdefault("tile_h", 32)
+    opts.setdefault("tile_w", 128)
+    opts.setdefault("small_span", 16)
+    opts.setdefault("broad_cap", 128)
+    capacity = opts.setdefault("capacity", 512)
+
+    coefs, bboxes, valids = [], [], []
+    for d in draws:
+        model = d.model
+        normal_mat = d.normal_mat if d.normal_mat is not None else model
+        mvp = view_proj @ model
+        setup, _ = prepare_draw(d.mesh, model, view_proj, mvp, normal_mat,
+                                light, d.color, d.shading, width, height,
+                                cull_backfaces, near_clip)
+        coefs.append(setup.coef)
+        bboxes.append(setup.bbox)
+        valids.append(setup.valid)
+    coef = jnp.concatenate(coefs)
+    bbox = jnp.concatenate(bboxes)
+    valid = jnp.concatenate(valids)
+    bins = bin_triangles(coef, bbox, valid, height, width, **opts)
+    import numpy as np
+
+    return (int(np.asarray(bins.overflow)),
+            int(np.asarray(bins.counts).max()), capacity)
+
+
 class DrawSpec:
     """One mesh submission for the batched scene path (draw_meshes)."""
 

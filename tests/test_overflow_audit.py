@@ -1,0 +1,55 @@
+"""Bin-capacity audits for the shipped benchmark configurations.
+
+Binning capacity overflow silently drops triangles (reported via Bins.overflow);
+every scene/benchmark configuration this repo ships must audit to ZERO overflow
+with its chosen raster_opts. This caught real silent drops in early soup tuning.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu.models import primitives
+from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene
+from dtrenderer_tpu.ops.shading import make_light
+from dtrenderer_tpu.utils import math3d as m3
+
+
+def test_bench_scene_capacity():
+    h, w = 1080, 1920
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    sphere = primitives.uv_sphere(24, 32)
+    models = [
+        jnp.asarray(m3.model_matrix((x, y, -3.2), m3.rotate_y(0.3 * (x + y)), 1.05))
+        for x in (-1.2, 0.0, 1.2) for y in (-0.7, 0.7)
+    ]
+    draws = [DrawSpec(sphere, mdl, shading="phong") for mdl in models]
+    overflow, maxcount, cap = audit_scene(
+        proj, draws, h, w, raster_opts=dict(tile_h=64, tile_w=128, capacity=256)
+    )
+    assert overflow == 0, f"bench scene overflows ({overflow})"
+    assert maxcount <= cap * 0.8, f"headroom too small: {maxcount}/{cap}"
+
+
+def test_soup_scene_capacity():
+    # the config-5-style 200k soup at 1080p with its tuned raster_opts
+    h, w = 1080, 1920
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    soup = primitives.random_triangle_soup(200_000, rng_seed=11, extent=1.6)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+    overflow, maxcount, cap = audit_scene(
+        proj, [DrawSpec(soup, mdl, shading="gouraud")], h, w, near_clip=False,
+        raster_opts=dict(tile_h=16, capacity=512, small_span=8),
+    )
+    assert overflow == 0, f"soup overflows at cap {cap}: {overflow}"
+
+
+def test_audit_detects_overflow():
+    h, w = 256, 256
+    proj = jnp.asarray(m3.perspective(np.pi / 3, 1.0, 0.1, 100.0))
+    soup = primitives.random_triangle_soup(20_000, rng_seed=3, extent=0.5)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.2)))
+    overflow, maxcount, cap = audit_scene(
+        proj, [DrawSpec(soup, mdl)], h, w, near_clip=False,
+        raster_opts=dict(tile_h=32, capacity=128, small_span=8),
+    )
+    assert overflow > 0, "dense scene at tiny capacity must report overflow"
