@@ -23,7 +23,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -89,7 +89,7 @@ def draw_mesh_sharded(fb: Framebuffer, mesh_obj, model, view_proj,
         mesh=device_mesh,
         in_specs=(P("rows", None, None), P("rows", None)),
         out_specs=(P("rows", None, None), P("rows", None)),
-        check_rep=False,
+        check_vma=False,
     )(fb.color, fb.depth)
     return Framebuffer(color=color, depth=depth)
 
@@ -133,7 +133,7 @@ def render_frames_sharded(render_band_fn, fb: Framebuffer,
             arg_specs,
         ),
         out_specs=(P("frames", "rows", None, None), P("frames", "rows", None)),
-        check_rep=False,
+        check_vma=False,
     )(fb.color, fb.depth, frame_args)
     return Framebuffer(color=color, depth=depth)
 
