@@ -74,11 +74,13 @@ def make_config1(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.0, 0.0, 1.0), 0.2)
 
-    def frame(color, depth, t):
+    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
         mdl = m3.model_matrix((0.0, 0.0, -2.0), m3.rotate_z(t * 0.5))
         fb = draw_mesh(fb, mesh, mdl, proj, color=(0.9, 0.35, 0.2, 1.0),
-                       light=light, shading="flat", backend=backend)
+                       light=light, shading="flat", backend=backend,
+                       y_offset=y_offset, frame_height=frame_height,
+                       frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config1_flat_triangle", width, height, 1, frame)
@@ -92,11 +94,13 @@ def make_config2(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.4, 0.6, 1.0), 0.15)
 
-    def frame(color, depth, t):
+    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
         mdl = m3.model_matrix((0, 0, -4.5), m3.rotate_y(t) @ m3.rotate_x(t * 0.6))
         fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
-                       shading="flat", sampling_mode="nearest", backend=backend)
+                       shading="flat", sampling_mode="nearest", backend=backend,
+                       y_offset=y_offset, frame_height=frame_height,
+                       frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config2_textured_cube", width, height, mesh.num_tris, frame)
@@ -109,12 +113,13 @@ def make_config3(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.5, 0.4, 1.0), 0.12)
 
-    def frame(color, depth, t):
+    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.04, 0.05, 0.09, 1.0])
         mdl = m3.model_matrix((0, 0, -2.6), m3.rotate_y(t), 1.2)
         fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="bilinear",
-                       backend=backend)
+                       backend=backend, y_offset=y_offset,
+                       frame_height=frame_height, frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config3_obj_gouraud", width, height, mesh.num_tris, frame)
@@ -131,7 +136,7 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
     light = make_light((0.4, 0.6, 1.0), 0.15)
     n_tris = head.num_tris + cube.num_tris + sphere.num_tris * 2
 
-    def frame(color, depth, t):
+    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
 
         fb = _clear(color, depth, [0.03, 0.03, 0.06, 1.0])
@@ -151,12 +156,15 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
         if backend == "fused":
             # one batched fused submission (bit-identical to sequential draws)
             fb = draw_meshes(fb, proj, specs, light=light,
-                             sampling_mode="bilinear")
+                             sampling_mode="bilinear", y_offset=y_offset,
+                             frame_height=frame_height, frame_width=frame_width)
         else:
             for s in specs:
                 fb = draw_mesh(fb, s.mesh, s.model, proj, texture=s.texture,
                                color=s.color, light=light, shading=s.shading,
-                               sampling_mode="bilinear", backend=backend)
+                               sampling_mode="bilinear", backend=backend,
+                               y_offset=y_offset, frame_height=frame_height,
+                               frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config4_multimesh_phong", width, height, n_tris, frame)

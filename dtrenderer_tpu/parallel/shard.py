@@ -38,8 +38,8 @@ def make_mesh(frames: int = 1, rows: int | None = None,
     n = len(devices)
     if rows is None:
         rows = n // frames
-    assert frames * rows == n, f"mesh {frames}x{rows} != {n} devices"
-    dev_array = np.array(devices).reshape(frames, rows)
+    assert frames * rows <= n, f"mesh {frames}x{rows} needs > {n} devices"
+    dev_array = np.array(devices[: frames * rows]).reshape(frames, rows)
     return DeviceMesh(dev_array, ("frames", "rows"))
 
 
