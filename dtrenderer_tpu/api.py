@@ -78,12 +78,13 @@ def render_bitmap(state: RenderState, bitmap, pos,
 
 
 def render_text(state: RenderState, s, pos, color=(1, 1, 1, 1),
-                font: Font | None = None, scale: int = 1) -> RenderState:
+                font: Font | None = None, scale: int = 1,
+                proportional: bool = False) -> RenderState:
     font = font or bake_builtin_font(12)
     codes = encode_text(s) if isinstance(s, str) else s
-    return state._replace(
-        fb=textlib.draw_text(state.fb, font, codes, pos, color, scale)
-    )
+    draw = (textlib.draw_text_proportional if proportional
+            else textlib.draw_text)
+    return state._replace(fb=draw(state.fb, font, codes, pos, color, scale))
 
 
 def render_triangle(state: RenderState, p0, p1, p2, color=(1, 1, 1, 1),

@@ -29,6 +29,7 @@ class Font(NamedTuple):
     atlas: jnp.ndarray  # f32 [GRID_ROWS*cell_h, GRID_COLS*cell_w] glyph coverage
     cell_w: int
     cell_h: int
+    advances: jnp.ndarray | None = None  # f32 [95] per-glyph advance (px), or None
 
 
 def _find_mono_ttf() -> str | None:
@@ -66,12 +67,13 @@ def bake_builtin_font(size: int = 14, prefer_native: bool = True) -> Font:
             from dtrenderer_tpu.assets import native
 
             if native.available():
-                atlas_u8, cw, ch, _metrics, _ascent = native.bake_font_file(
+                atlas_u8, cw, ch, metrics, _ascent = native.bake_font_file(
                     ttf_path, float(size), FIRST_CHAR,
                     LAST_CHAR - FIRST_CHAR + 1, GRID_COLS,
                 )
                 atlas = atlas_u8.astype(np.float32) / np.float32(255.0)
-                return Font(atlas=jnp.asarray(atlas), cell_w=cw, cell_h=ch)
+                return Font(atlas=jnp.asarray(atlas), cell_w=cw, cell_h=ch,
+                            advances=jnp.asarray(metrics[:, 0], jnp.float32))
         except Exception:
             pass  # fall through to PIL baking
     return _bake_with_pil(size)
@@ -114,7 +116,15 @@ def _bake_with_pil(size: int) -> Font:
         d.text((cx, cy), chr(code), fill=255, font=pil_font)
 
     atlas = np.asarray(img, np.float32) / np.float32(255.0)
-    return Font(atlas=jnp.asarray(atlas), cell_w=cell_w, cell_h=cell_h)
+    try:
+        advances = np.array(
+            [pil_font.getlength(chr(c)) for c in range(FIRST_CHAR, LAST_CHAR + 1)],
+            np.float32,
+        )
+    except Exception:
+        advances = np.full(LAST_CHAR - FIRST_CHAR + 1, float(cell_w), np.float32)
+    return Font(atlas=jnp.asarray(atlas), cell_w=cell_w, cell_h=cell_h,
+                advances=jnp.asarray(advances))
 
 
 def encode_text(s: str) -> np.ndarray:

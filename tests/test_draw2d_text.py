@@ -131,3 +131,24 @@ def test_text_dynamic_codes_no_retrace():
     b = frame(fb.color, fb.depth, jnp.asarray(encode_text("fps 59.9")))
     assert traces == 1, "HUD text change must not retrace"
     assert not np.allclose(np.asarray(a), np.asarray(b)), "different text, same pixels"
+
+
+def test_text_proportional_renders_and_differs():
+    from dtrenderer_tpu.ops.text import draw_text_proportional, text_width
+
+    font = bake_builtin_font(12)
+    codes = encode_text("iiiWWW")
+    fb_p = draw_text_proportional(_fb(48, 200), font, codes, (4, 4),
+                                  (1, 1, 1, 1))
+    c = np.asarray(fb_p.color)
+    assert (c[..., 0] > 0.5).sum() > 20
+    if font.advances is not None:
+        import numpy as _np
+
+        adv = _np.asarray(font.advances)
+        wi = adv[ord("i") - 32]
+        ww = adv[ord("W") - 32]
+        # proportional width helper: exact sum of advances
+        assert abs(text_width(font, codes) - (3 * wi + 3 * ww)) < 1e-3
+        # a monospace font bakes equal advances; proportional path still works
+        assert text_width(font, codes) > 0
