@@ -65,11 +65,32 @@ class _FontAtlas(C.Structure):
     ]
 
 
+def _try_build() -> bool:
+    """Attempt a one-shot `make -C native` (e.g. fresh checkout without the
+    committed .so, or a .so built for another platform)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            capture_output=True, timeout=120, check=True,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=1)
 def _lib():
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) and not _try_build():
         return None
-    lib = C.CDLL(_LIB_PATH)
+    try:
+        lib = C.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/foreign binary: rebuild once
+        if not _try_build():
+            return None
+        lib = C.CDLL(_LIB_PATH)
     lib.dtr_obj_parse_file.restype = C.POINTER(_ObjData)
     lib.dtr_obj_parse_file.argtypes = [C.c_char_p]
     lib.dtr_obj_parse.restype = C.POINTER(_ObjData)
