@@ -121,46 +121,6 @@ def prepare_draw(mesh, model, view_proj, mvp, normal_mat, light, color,
     return setup, attrs10
 
 
-def build_attrs(screen, mesh, model, normal_mat, light: Light, color, shading: str):
-    """Per-triangle, per-corner attribute planes [T, 3, 16] (layout above)."""
-    faces = mesh.faces
-    q = screen[faces][:, :, 3]  # [T, 3]
-    uvq = mesh.uv[faces] * q[..., None]  # [T, 3, 2]
-    color = jnp.asarray(color, F32)
-
-    world = transform_points(homogenize(mesh.verts), model)[..., :3]
-    wnormals = transform_directions(mesh.normals, normal_mat)
-
-    T = faces.shape[0]
-    zeros3 = jnp.zeros((T, 3, 3), F32)
-    if shading == SHADING_FLAT:
-        w0 = world[faces[:, 0]]
-        w1 = world[faces[:, 1]]
-        w2 = world[faces[:, 2]]
-        face_n = jnp.cross(w1 - w0, w2 - w0)  # [T, 3]
-        term = light_term(face_n, light)  # [T]
-        corner_rgba = apply_light(
-            jnp.broadcast_to(color, (T, 3, 4)), term[:, None]
-        )
-        nq = zeros3
-    elif shading == SHADING_GOURAUD:
-        vterm = light_term(wnormals[faces], light)  # [T, 3]
-        corner_rgba = apply_light(jnp.broadcast_to(color, (T, 3, 4)), vterm)
-        nq = zeros3
-    elif shading == SHADING_PHONG:
-        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
-        nq = wnormals[faces] * q[..., None]
-    elif shading == SHADING_NONE:
-        corner_rgba = jnp.broadcast_to(color, (T, 3, 4))
-        nq = zeros3
-    else:
-        raise ValueError(f"unknown shading mode {shading!r}")
-
-    rgbaq = corner_rgba * q[..., None]
-    pad = jnp.zeros((T, 3, ATTR_CHANNELS - 10), F32)
-    return jnp.concatenate([q[..., None], uvq, rgbaq, nq, pad], axis=-1)
-
-
 def shade_deferred(
     fb: Framebuffer,
     z,
