@@ -32,6 +32,7 @@ class PlatformInput:
     time_now_s: float = 0.0
     keys_down: frozenset[str] = frozenset()
     keys_pressed: frozenset[str] = frozenset()  # went down this frame
+    transition_counts: dict[str, int] = dataclasses.field(default_factory=dict)
     mouse_x: int = 0
     mouse_y: int = 0
     mouse_buttons: frozenset[str] = frozenset()
@@ -52,11 +53,15 @@ class InputScript:
         released = set(ev.get("release", ()))
         self._down |= pressed
         self._down -= released
+        counts: dict[str, int] = {}
+        for k in pressed | released:
+            counts[k] = counts.get(k, 0) + 1
         inp = PlatformInput(
             delta_for_frame=self.dt,
             time_now_s=self.frame * self.dt,
             keys_down=frozenset(self._down),
             keys_pressed=frozenset(pressed),
+            transition_counts=counts,
             mouse_x=ev.get("mouse_x", 0),
             mouse_y=ev.get("mouse_y", 0),
             mouse_buttons=frozenset(ev.get("mouse_buttons", ())),
@@ -106,6 +111,7 @@ def run_app(
     reloader: HotReloader | None = None,
     update_attr: str = "update",
     on_frame: Callable | None = None,
+    target_fps: float | None = None,
 ):
     """The main loop (CS-2 analog): poll input -> maybe hot reload -> update.
 
@@ -118,7 +124,9 @@ def run_app(
     """
     input_source = input_source or InputScript()
     reloads = 0
+    frame_budget = (1.0 / target_fps) if target_fps else None
     for i in range(n_frames):
+        t0 = time.perf_counter()
         if reloader is not None and reloader.maybe_reload():
             update = getattr(reloader.module, update_attr)
             reloads += 1
@@ -126,6 +134,11 @@ def run_app(
         state = update(state, inp)
         if on_frame is not None:
             on_frame(i, state)
+        if frame_budget is not None:
+            # sleep-to-target-fps (reference CS-2: QPC timing + Sleep)
+            remaining = frame_budget - (time.perf_counter() - t0)
+            if remaining > 0:
+                time.sleep(remaining)
     return state, n_frames, reloads
 
 

@@ -100,3 +100,15 @@ def test_pcg32_reference_stream():
     assert 0.2 < float(np.mean(vals)) < 0.8
     ints = [Pcg32(seed=1).range_i32(5, 10) for _ in range(10)]
     assert all(5 <= v < 10 for v in ints)
+
+
+def test_transition_counts_and_fps_pacing():
+    script = plat.InputScript({0: {"press": ["w"], "release": ["s"]}})
+    f0 = script.next_frame()
+    assert f0.transition_counts == {"w": 1, "s": 1}
+    f1 = script.next_frame()
+    assert f1.transition_counts == {}
+
+    t0 = time.perf_counter()
+    plat.run_app(lambda s, i: s, 0, 3, target_fps=100)  # 3 frames @ >=10ms
+    assert time.perf_counter() - t0 >= 0.025
