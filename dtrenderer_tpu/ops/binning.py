@@ -98,14 +98,14 @@ def bin_triangles(
     in_span = small[:, None] & (s < n_cover[:, None])
     tile = jnp.where(in_span, tile, n_tiles)                   # sentinel sorts last
 
-    # Pack (tile, tri) into one sort key. int32 covers n_tiles * T up to 2^31;
-    # beyond that (e.g. >1M tris at 4K) fall back to int64 keys.
-    key_dtype = I32 if (n_tiles + 1) * T < 2**31 else jnp.int64
-    tri_ids = jnp.arange(T, dtype=key_dtype)[:, None]
-    key = tile.astype(key_dtype) * key_dtype(T) + jnp.where(in_span, tri_ids, 0)
-    key_sorted = jnp.sort(key.reshape(-1))
-    tile_sorted = (key_sorted // key_dtype(T)).astype(I32)
-    tri_sorted = (key_sorted % key_dtype(T)).astype(I32)
+    # Two-key sort (tile major, tri minor) — no packed wide keys, so any
+    # n_tiles x T combination is safe (int64 would silently truncate to int32
+    # under the default jax_enable_x64=False anyway).
+    tri_ids = jnp.arange(T, dtype=I32)[:, None]
+    tri_val = jnp.where(in_span, tri_ids, 0)
+    tile_sorted, tri_sorted = jax.lax.sort(
+        (tile.reshape(-1), tri_val.reshape(-1)), num_keys=2
+    )
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=I32))
     counts_small = (starts[1:] - starts[:-1]).astype(I32)      # [n_tiles]

@@ -109,3 +109,33 @@ def test_pipeline_pallas_backend_matches_ref(rng):
     b = run("pallas")
     assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+
+
+def test_binning_large_tile_by_tri_domain(rng):
+    # (n_tiles+1)*T >= 2^31 would overflow any packed int32 sort key (and JAX
+    # silently truncates int64 under jax_enable_x64=False) — the two-key
+    # lax.sort must handle this domain exactly.
+    from dtrenderer_tpu.ops.binning import bin_triangles
+
+    h, w = 4096, 1920
+    T = 300_000
+    n_tiles = (h // 8) * (w // 128)
+    assert (n_tiles + 1) * T >= 2**31, "test no longer exercises the large domain"
+    coef = jnp.zeros((T, 16), jnp.float32)
+    xs = rng.uniform(0, w - 4, T).astype(np.int32)
+    ys = rng.uniform(0, h - 4, T).astype(np.int32)
+    bbox = jnp.stack([xs, ys, xs + 3, ys + 3], axis=1).astype(jnp.int32)
+    valid = jnp.ones((T,), bool)
+    bins = bin_triangles(coef, bbox, valid, h, w, tile_h=8, tile_w=128,
+                         capacity=256, small_span=4, broad_cap=128)
+    counts = np.asarray(bins.counts)
+    assert counts.sum() > T  # every tri lands in >=1 tile
+    assert int(bins.overflow) == 0
+    # spot-check one bin's ids are valid and unique
+    setup = np.asarray(bins.setup)
+    ids = setup[..., 16].view(np.int32)
+    tile = np.unravel_index(counts.argmax(), counts.shape)
+    n = counts[tile]
+    got = ids[tile][:n]
+    assert (got >= 0).all() and (got < T).all()
+    assert len(np.unique(got)) == n
