@@ -24,11 +24,24 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str, like):
-    """Restore a pytree saved by save_pytree; `like` provides the structure."""
+    """Restore a pytree saved by save_pytree; `like` provides the structure.
+
+    The stored treedef is verified against `like`'s structure — restoring into a
+    structurally different state is an error, not a silent reinterpretation.
+    """
     import jax.numpy as jnp
 
     data = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
+    stored_treedef = bytes(data["__treedef__"]).decode()
+    if stored_treedef != str(treedef):
+        raise ValueError(
+            f"checkpoint structure mismatch:\n  stored: {stored_treedef}\n"
+            f"  expected: {treedef}")
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {n_stored} leaves, `like` has {len(leaves_like)}")
     n = len(leaves_like)
     leaves = []
     for i in range(n):

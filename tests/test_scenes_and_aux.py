@@ -69,6 +69,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(fb.depth), np.asarray(restored.depth))
 
 
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Restoring into a structurally different state must fail, not coerce."""
+    import pytest
+
+    from dtrenderer_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    p = str(tmp_path / "state.npz")
+    save_pytree(p, {"a": jnp.zeros(3), "b": jnp.ones(2)})
+    with pytest.raises(ValueError):
+        load_pytree(p, {"a": jnp.zeros(3), "c": jnp.ones(2)})  # different keys
+    with pytest.raises(ValueError):
+        load_pytree(p, {"a": jnp.zeros(3)})  # different leaf count
+
+
 def test_frame_counters_merge():
     from dtrenderer_tpu.debug import FrameCounters
 

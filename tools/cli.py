@@ -124,11 +124,13 @@ def main():
             band_fn, fb, dmesh, t[None]))
         t0 = time.perf_counter()
         out = step(fbs, jnp.float32(0.6))
-        color = np.asarray(out.color[0])
+        np.asarray(out.color[0])
         print(f"first frame (incl. compile): "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         for i in range(1, args.frames):
-            out = step(out, jnp.float32(0.6 + 0.05 * i))
+            # Same semantics as the unsharded branch: each frame renders fresh
+            # from the cleared framebuffer (spec.frame clears first regardless).
+            out = step(fbs, jnp.float32(0.6 + 0.05 * i))
         color = np.asarray(out.color[0])
     else:
         fb0 = fblib.create(spec.height, spec.width)
