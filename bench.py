@@ -1,14 +1,19 @@
-"""Headline benchmark: shaded fill rate at 1080p through the full pipeline
-(Pallas raster + deferred perspective-correct textured Phong shading).
+"""Headline benchmark: shaded fill rate AND triangle throughput at 1080p through
+the full production pipeline (fused Pallas visibility+shading kernel).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: BASELINE.md's north star is >= 1 Gpixel/s shaded fill on a v5e-8;
-this runs on ONE chip, so baseline share = 1e9/8 = 125 Mpix/s per chip.
-vs_baseline = measured Mpix/s / 125 (>= 1.0 beats the per-chip target share).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
+- primary metric: shaded fill rate, config-4-style multi-mesh Phong+bilinear
+  scene. vs_baseline: BASELINE.md's north star is >= 1 Gpixel/s shaded fill on a
+  v5e-8; this runs on ONE chip, so the per-chip share is 1e9/8 = 125 Mpix/s and
+  vs_baseline = measured / 125.
+- extra.mtris_s: triangle throughput on a 200k-triangle soup (config-5-style
+  geometry load at 1080p), zero-overflow audited. extra.mtris_vs_baseline is
+  measured / (10 Mtris/s / 8 chips = 1.25 Mtris/s per-chip share).
 
 Timing uses utils/benchlib.device_time (device-side loop; wall-clock dispatch and
 tunnel fetches are excluded — see benchlib docstring for why that is required on
-this platform).
+this platform). Both scenes assert zero bin overflow first (overflow = silent
+triangle drops that fake speed).
 """
 
 from __future__ import annotations
@@ -70,9 +75,14 @@ def main():
 
         fb = fblib.Framebuffer(color=color, depth=depth)
         fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+        # rotate_y(t - 0.5) is the identity at runtime (t == 0.5; device_time's
+        # per-iteration eps flushes to zero) but XLA cannot prove it, so the
+        # WHOLE vertex->binning->raster chain depends on the loop-carried input
+        # and cannot be hoisted out of the timing loop. Scene values == audit.
+        rot_t = m3.rotate_y(t - jnp.float32(0.5))
         fb = draw_meshes(
             fb, proj,
-            [DrawSpec(sphere, mdl, texture=tex, shading="phong")
+            [DrawSpec(sphere, m3.mat4mul(mdl, rot_t), texture=tex, shading="phong")
              for mdl in models],
             light=light, sampling_mode="bilinear",
             raster_opts=raster_opts,  # tuned via tools/tune.py; audited above
@@ -96,13 +106,66 @@ def main():
     print(f"bench: {dt*1000:.2f} ms/frame, {mpix_s:.0f} Mpix/s shaded, "
           f"{tris_s:.1f} Mtris/s", file=sys.stderr)
 
+    # ---- scene 2: triangle throughput (200k soup @1080p, config-5 style) ----
+    soup_tris, soup_dt, soup_mtris = run_soup_bench(h, w, on_tpu)
+
     per_chip_target = 1e9 / 8 / 1e6  # 125 Mpix/s
+    mtris_share = 10.0 / 8  # 1.25 Mtris/s per chip of the 10 Mtris/s target
     print(json.dumps({
         "metric": "shaded_fill_rate_1080p_single_chip",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / per_chip_target, 3),
+        "extra": {
+            "frame_ms": round(dt * 1000, 2),
+            "mtris_s": round(soup_mtris, 2),
+            "mtris_vs_baseline": round(soup_mtris / mtris_share, 3),
+            "soup_tris": soup_tris,
+            "soup_frame_ms": round(soup_dt * 1000, 2),
+        },
     }))
+
+
+def run_soup_bench(h, w, on_tpu):
+    """Triangle-throughput scene: 200k-tri soup @1080p, zero-overflow audited
+    (tuned raster_opts from tools/tune.py sweeps; ARCHITECTURE.md 'Soup')."""
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene, draw_meshes
+    from dtrenderer_tpu.utils import math3d as m3
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    n_tris = 200_000 if on_tpu else 2_000
+    soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+    raster_opts = dict(tile_h=16, capacity=512, small_span=8)
+
+    draws = [DrawSpec(soup, mdl, shading="gouraud")]
+    overflow, maxcount, cap = audit_scene(proj, draws, h, w, near_clip=False,
+                                          raster_opts=raster_opts)
+    print(f"bench(soup): bin audit overflow={overflow} maxcount={maxcount}/{cap}",
+          file=sys.stderr)
+    assert overflow == 0, "soup bin overflow — results would be fake"
+
+    def frame(color, depth, t):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+        # identity at runtime; ties the raster chain to the timing loop (see
+        # the fill-rate scene for why).
+        rot_t = m3.rotate_y(t - jnp.float32(0.5))
+        fb = draw_meshes(fb, proj,
+                         [DrawSpec(soup, m3.mat4mul(mdl, rot_t), shading="gouraud")],
+                         sampling_mode="nearest", near_clip=False,
+                         raster_opts=raster_opts)
+        return fb.color, fb.depth
+
+    fb0 = fblib.create(h, w)
+    dt = device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5), iters=8)
+    mtris = n_tris / dt / 1e6
+    print(f"bench(soup): {dt*1000:.2f} ms/frame, {mtris:.2f} Mtris/s "
+          f"({n_tris} tris)", file=sys.stderr)
+    return n_tris, dt, mtris
 
 
 if __name__ == "__main__":

@@ -132,22 +132,29 @@ def render_triangle(state: RenderState, p0, p1, p2, color=(1, 1, 1, 1),
     return state._replace(fb=out)
 
 
-def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs) -> RenderState:
-    """DTRRender_Mesh analog; kwargs forwarded to ops.pipeline.draw_mesh."""
-    return state._replace(
-        fb=pipeline.draw_mesh(state.fb, mesh, model, view_proj, **kwargs)
-    )
+def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs):
+    """DTRRender_Mesh analog; kwargs forwarded to ops.pipeline.draw_mesh.
+
+    With return_counters=True, returns (state, FrameCounters) — counters are
+    device scalars (incl. bin_overflow) usable inside jitted frames."""
+    out = pipeline.draw_mesh(state.fb, mesh, model, view_proj, **kwargs)
+    if kwargs.get("return_counters"):
+        fb, counters = out
+        return state._replace(fb=fb), counters
+    return state._replace(fb=out)
 
 
-def render_meshes(state: RenderState, view_proj, draws, **kwargs) -> RenderState:
+def render_meshes(state: RenderState, view_proj, draws, **kwargs):
     """Batched scene submission: all opaque meshes in one fused kernel call.
 
     draws: sequence of pipeline.DrawSpec. Bit-identical to sequential
     render_mesh calls for opaque geometry (order-independent depth resolve).
-    """
-    return state._replace(
-        fb=pipeline.draw_meshes(state.fb, view_proj, draws, **kwargs)
-    )
+    With return_counters=True, returns (state, FrameCounters)."""
+    out = pipeline.draw_meshes(state.fb, view_proj, draws, **kwargs)
+    if kwargs.get("return_counters"):
+        fb, counters = out
+        return state._replace(fb=fb), counters
+    return state._replace(fb=out)
 
 
 def finish_frame(state: RenderState) -> jnp.ndarray:

@@ -20,21 +20,27 @@ from dtrenderer_tpu.ops.text import draw_text
 
 
 class FrameCounters(NamedTuple):
-    """Per-frame counters (device scalars; reference's DTRDebug counters analog)."""
+    """Per-frame counters (device scalars; reference's DTRDebug counters analog).
+
+    bin_overflow counts (tile, triangle) pairs dropped by bin capacity in the
+    fused raster path — the reference can never drop geometry, so any nonzero
+    value is a must-fix signal (raise raster_opts['capacity'])."""
     tris_submitted: jnp.ndarray
     tris_valid: jnp.ndarray
     pixels_shaded: jnp.ndarray
+    bin_overflow: jnp.ndarray
 
     @staticmethod
     def zero() -> "FrameCounters":
         z = jnp.zeros((), jnp.int32)
-        return FrameCounters(z, z, z)
+        return FrameCounters(z, z, z, z)
 
     def merge(self, other: "FrameCounters") -> "FrameCounters":
         return FrameCounters(
             self.tris_submitted + other.tris_submitted,
             self.tris_valid + other.tris_valid,
             self.pixels_shaded + other.pixels_shaded,
+            self.bin_overflow + other.bin_overflow,
         )
 
 
@@ -67,6 +73,9 @@ class DebugHud:
                 f"tris: {int(counters.tris_valid)}/{int(counters.tris_submitted)}"
                 f"  px: {int(counters.pixels_shaded)}"
             )
+            if int(counters.bin_overflow) > 0:
+                lines.append(f"!! bin overflow: {int(counters.bin_overflow)} "
+                             f"dropped (raise capacity)")
         lines.extend(self.lines)
         self.lines = []
         y = 4

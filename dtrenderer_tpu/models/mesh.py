@@ -77,14 +77,18 @@ def weld(positions, pos_idx, uvs=None, uv_idx=None, normals=None, n_idx=None):
     uniq, inverse = np.unique(key, axis=0, return_inverse=True)
     faces = inverse.reshape(t, 3).astype(np.int32)
     verts = np.asarray(positions, np.float32)[uniq[:, 0]]
-    uv = (
-        np.asarray(uvs, np.float32)[uniq[:, 1]]
-        if uvs is not None and uv_idx is not None
-        else np.zeros((uniq.shape[0], 2), np.float32)
-    )
-    normals = (
-        np.asarray(normals, np.float32)[uniq[:, 2]]
-        if normals is not None and n_idx is not None
-        else None
-    )
+    # -1 is the "corner has no vt/vn" sentinel (mixed OBJ faces): mask those rows
+    # to zero instead of letting -1 silently index the LAST uv/normal.
+    if uvs is not None and uv_idx is not None:
+        ui = uniq[:, 1]
+        uv = np.asarray(uvs, np.float32)[np.maximum(ui, 0)]
+        uv[ui < 0] = 0.0
+    else:
+        uv = np.zeros((uniq.shape[0], 2), np.float32)
+    if normals is not None and n_idx is not None:
+        ni = uniq[:, 2]
+        normals = np.asarray(normals, np.float32)[np.maximum(ni, 0)]
+        normals[ni < 0] = 0.0  # zero normal -> ambient-lit (FORMULAS.md guard)
+    else:
+        normals = None
     return verts, uv, normals, faces

@@ -96,7 +96,8 @@ def make_config2(width=800, height=600, backend="fused") -> SceneSpec:
 
     def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
-        mdl = m3.model_matrix((0, 0, -4.5), m3.rotate_y(t) @ m3.rotate_x(t * 0.6))
+        mdl = m3.model_matrix((0, 0, -4.5),
+                              m3.mat4mul(m3.rotate_y(t), m3.rotate_x(t * 0.6)))
         fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
                        shading="flat", sampling_mode="nearest", backend=backend,
                        y_offset=y_offset, frame_height=frame_height,
@@ -144,7 +145,7 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
             DrawSpec(head, m3.model_matrix((-1.3, 0.1, -3.0), m3.rotate_y(t), 1.3),
                      texture=tex, shading="phong"),
             DrawSpec(cube, m3.model_matrix((1.5, -0.3, -4.6),
-                                           m3.rotate_y(t * 0.8) @ m3.rotate_x(0.4)),
+                                           m3.mat4mul(m3.rotate_y(t * 0.8), m3.rotate_x(0.4))),
                      texture=checker, shading="phong"),
             DrawSpec(sphere, m3.model_matrix((0.6, 1.0, -5.5),
                                              m3.rotate_y(t * 0.5), 1.1),

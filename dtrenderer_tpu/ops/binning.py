@@ -49,7 +49,8 @@ def _ceil_div(a: int, b: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "with_transposed"),
+                     "small_span", "broad_cap", "with_transposed",
+                     "with_ybounds"),
 )
 def bin_triangles(
     coef,
@@ -64,6 +65,7 @@ def bin_triangles(
     broad_cap: int = 128,
     payload=None,
     with_transposed: bool = False,
+    with_ybounds: bool = False,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
 
@@ -71,6 +73,10 @@ def bin_triangles(
     channel (used by the fused render kernel for texture metadata + corner attrs).
     with_transposed: also produce setup_t [n_ty, n_tx, C, K] (channel-major), the
     layout the fused kernel's slot-gather phase wants.
+    with_ybounds: append the triangle's local bbox y0/y1 (pixel rows, f32) as the
+    LAST two channels and sort each tile's list by (y0, tri) instead of (tri) —
+    y-coherent bins let the kernel's slab loop skip whole (slab, chunk) pairs
+    (depth resolve is order-free, so bin order is semantically free).
     """
     T = coef.shape[0]
     n_ty = _ceil_div(height, tile_h)
@@ -98,14 +104,23 @@ def bin_triangles(
     in_span = small[:, None] & (s < n_cover[:, None])
     tile = jnp.where(in_span, tile, n_tiles)                   # sentinel sorts last
 
-    # Two-key sort (tile major, tri minor) — no packed wide keys, so any
-    # n_tiles x T combination is safe (int64 would silently truncate to int32
-    # under the default jax_enable_x64=False anyway).
+    # Multi-key sort (tile major) — no packed wide keys, so any n_tiles x T
+    # combination is safe (int64 would silently truncate to int32 under the
+    # default jax_enable_x64=False anyway). With with_ybounds the secondary key
+    # is the triangle's bbox y0 so each tile's list is y-sorted (see docstring);
+    # the tertiary tri key keeps the order deterministic.
     tri_ids = jnp.arange(T, dtype=I32)[:, None]
     tri_val = jnp.where(in_span, tri_ids, 0)
-    tile_sorted, tri_sorted = jax.lax.sort(
-        (tile.reshape(-1), tri_val.reshape(-1)), num_keys=2
-    )
+    if with_ybounds:
+        y0_key = jnp.where(in_span, jnp.broadcast_to(bbox[:, 1:2], tile.shape), 0)
+        tile_sorted, _, tri_sorted = jax.lax.sort(
+            (tile.reshape(-1), y0_key.reshape(-1), tri_val.reshape(-1)),
+            num_keys=3,
+        )
+    else:
+        tile_sorted, tri_sorted = jax.lax.sort(
+            (tile.reshape(-1), tri_val.reshape(-1)), num_keys=2
+        )
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=I32))
     counts_small = (starts[1:] - starts[:-1]).astype(I32)      # [n_tiles]
@@ -138,15 +153,20 @@ def bin_triangles(
     )
     counts = cnt_s + n_broad
 
-    # --- pre-gather setup + id channel (+ payload): [n_tiles, K, C] ---
-    table = coef if payload is None else jnp.concatenate([coef, payload], axis=1)
+    # --- pre-gather setup + id channel (+ payload [+ ybounds]): [n_tiles, K, C] ---
+    parts = [coef]
+    if payload is not None:
+        parts.append(payload)
+    if with_ybounds:
+        parts.append(bbox[:, (1, 3)].astype(jnp.float32))  # local y0, y1 rows
+    table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     safe = jnp.maximum(merged, 0)
-    gathered = table[safe]                                     # [n_tiles, K, 16+P]
+    gathered = table[safe]                                     # [n_tiles, K, 16+P(+2)]
     gathered = jnp.where((merged >= 0)[..., None], gathered, 0.0)
     id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
     setup = jnp.concatenate(
         [gathered[..., :16], id_bits, gathered[..., 16:]], axis=-1
-    )  # [n_tiles, K, C] with C = 17 + P
+    )  # [n_tiles, K, C] with C = 17 + P (+2 ybounds last)
     C = setup.shape[-1]
 
     setup_t = (

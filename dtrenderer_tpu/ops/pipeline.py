@@ -35,7 +35,9 @@ from dtrenderer_tpu.ops.shading import (
     light_term,
 )
 from dtrenderer_tpu.utils.color import blend_over
-from dtrenderer_tpu.utils.math3d import homogenize, transform_directions, transform_points
+from dtrenderer_tpu.utils.math3d import (
+    homogenize, mat4mul, transform_directions, transform_points,
+)
 
 F32 = jnp.float32
 
@@ -218,8 +220,21 @@ def draw_mesh(
     if normal_mat is None:
         normal_mat = model
 
+    if backend == "fused":
+        # VMEM budget: the fused kernel keeps the whole texture LUT in VMEM
+        # (~16 MB/core). Oversized textures route to the pallas visibility
+        # kernel + deferred shading (HBM texture gathers) automatically.
+        from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+
+        if int(texture.shape[0]) * int(texture.shape[1]) > TEX_BUDGET_TEXELS:
+            backend = "pallas"
+            raster_opts = {
+                k: v for k, v in (raster_opts or {}).items()
+                if k not in ("chunk", "cols", "skip_shading", "shard_budget")
+            }
+
     if mvp is None:
-        mvp = view_proj @ model
+        mvp = mat4mul(view_proj, model)
     setup, attrs10 = prepare_draw(
         mesh, model, view_proj, mvp, normal_mat, light, color, shading,
         fw, fh, cull_backfaces, near_clip,
@@ -230,21 +245,22 @@ def draw_mesh(
         # lighting per tile (ops/render_fused.py); only blend/depth-merge stay
         # in XLA. Fastest path; formulas identical to the deferred path.
         from dtrenderer_tpu.ops.render_fused import (
-            PAYLOAD_CHANNELS, make_texture_lut, render_fused,
+            PAYLOAD_CHANNELS, make_texture_lut, pack_flags, render_fused,
         )
 
         T = setup.coef.shape[0]
         tex_lut, meta = make_texture_lut([texture])
         base, tw_, th_ = meta[0]
-        is_phong = 1.0 if shading == SHADING_PHONG else 0.0
+        flags = pack_flags(shading == SHADING_PHONG,
+                           sampling_mode == "bilinear")
         texmeta = jnp.broadcast_to(
-            jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
+            jnp.asarray([base, tw_, th_, flags], F32), (T, 4)
         )
         payload = jnp.concatenate(
             [texmeta, attrs10.reshape(T, 30)], axis=1
         )
         assert payload.shape[1] == PAYLOAD_CHANNELS
-        z, src = render_fused(
+        z, src, overflow = render_fused(
             setup.coef, setup.bbox, setup.valid, payload, tex_lut,
             light.direction, light.ambient, h, w,
             y_offset=y_offset, x_offset=x_offset,
@@ -266,16 +282,18 @@ def draw_mesh(
             tris_submitted=jnp.int32(T),
             tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
             pixels_shaded=jnp.sum(win.astype(jnp.int32)),
+            bin_overflow=overflow,
         )
 
     if backend == "ref":
         z, tri = rasterize_ref(
             setup.coef, setup.valid, h, w, y_offset=y_offset, x_offset=x_offset
         )
+        overflow = jnp.zeros((), jnp.int32)  # ref path never bins
     elif backend == "pallas":
         from dtrenderer_tpu.ops.raster_pallas import rasterize_pallas
 
-        z, tri = rasterize_pallas(
+        z, tri, overflow = rasterize_pallas(
             setup.coef, setup.bbox, setup.valid, h, w,
             y_offset=y_offset, x_offset=x_offset, **(raster_opts or {}),
         )
@@ -290,10 +308,10 @@ def draw_mesh(
         fb, z, tri, setup.coef, attrs16, texture, sampling_mode, shading, light,
         y_offset=y_offset, x_offset=x_offset,
     )
-    return _finish_draw(out, fb, mesh, setup, z, tri, return_counters)
+    return _finish_draw(out, fb, mesh, setup, z, tri, overflow, return_counters)
 
 
-def _finish_draw(out, fb, mesh, setup, z, tri, return_counters):
+def _finish_draw(out, fb, mesh, setup, z, tri, overflow, return_counters):
     if not return_counters:
         return out
     from dtrenderer_tpu.debug import FrameCounters
@@ -302,8 +320,114 @@ def _finish_draw(out, fb, mesh, setup, z, tri, return_counters):
         tris_submitted=jnp.int32(mesh.faces.shape[0]),
         tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
         pixels_shaded=jnp.sum(((tri >= 0) & (z < fb.depth)).astype(jnp.int32)),
+        bin_overflow=overflow,
     )
     return out, counters
+
+
+def draw_mesh_ordered(
+    fb: Framebuffer,
+    mesh,
+    model,
+    view_proj,
+    texture=None,
+    light: Light | None = None,
+    color=(1.0, 1.0, 1.0, 1.0),
+    shading: str = SHADING_GOURAUD,
+    sampling_mode: str = "nearest",
+    cull_backfaces: bool = True,
+    normal_mat=None,
+    mvp=None,
+    frame_height=None,
+    frame_width=None,
+    y_offset=0,
+    x_offset=0,
+    near_clip: bool = True,
+):
+    """Reference-order draw: per-triangle z-test + blend + depth-WRITE in
+    submission order — the reference's sequential per-pixel loop semantics
+    (SURVEY.md CS-2 ★HOT LOOP), which the order-free two-phase split cannot
+    reproduce for TRANSLUCENT geometry (overlapping translucent triangles
+    stack in submission order and write depth).
+
+    Implemented as a lax.scan over triangles with full-frame masked blending:
+    O(T·H·W) sequential — intended for translucent meshes (typically small);
+    opaque geometry should use draw_mesh/draw_meshes (bit-identical for opaque,
+    vastly faster). Formulas identical to shade_deferred (FORMULAS.md).
+    """
+    import jax
+
+    from dtrenderer_tpu.ops.shading import make_light
+
+    h, w = fb.depth.shape
+    fh = frame_height if frame_height is not None else h
+    fw = frame_width if frame_width is not None else w
+    if light is None:
+        light = make_light()
+    if texture is None:
+        texture = jnp.ones((1, 1, 4), F32)
+    if normal_mat is None:
+        normal_mat = model
+    if mvp is None:
+        mvp = mat4mul(view_proj, model)
+
+    setup, attrs10 = prepare_draw(
+        mesh, model, view_proj, mvp, normal_mat, light, color, shading,
+        fw, fh, cull_backfaces, near_clip,
+    )
+    Tp = attrs10.shape[0]
+    attrs16 = jnp.concatenate(
+        [attrs10, jnp.zeros((Tp, 3, ATTR_CHANNELS - 10), F32)], axis=-1
+    )
+
+    px = (jnp.arange(w, dtype=F32) + (F32(0.5) + jnp.asarray(x_offset, F32)))[None, :]
+    py = (jnp.arange(h, dtype=F32) + (F32(0.5) + jnp.asarray(y_offset, F32)))[:, None]
+
+    def step(carry, inp):
+        colorbuf, depthbuf = carry
+        coef_t, valid_t, attr_t = inp  # [16], bool, [3, 16]
+        inside, z, b = coverage_and_depth(coef_t, px, py)  # [H, W]
+        b = tuple(bb[..., None] for bb in b)
+        ip = interp(b, attr_t[0], attr_t[1], attr_t[2])  # [H, W, 16]
+        qf = ip[..., 0]
+        inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
+        u = ip[..., 1] * inv_qf
+        v = ip[..., 2] * inv_qf
+        rgba = ip[..., 3:7] * inv_qf[..., None]
+        texel = sampling.sample(texture, u, v, sampling_mode)
+        src = texel * rgba
+        if shading == SHADING_PHONG:
+            n = ip[..., 7:10] * inv_qf[..., None]
+            term = light_term(n, light)
+            src = apply_light(src, term)
+        win = inside & valid_t & (z < depthbuf)
+        blended = blend_over(src, colorbuf)
+        return (
+            jnp.where(win[..., None], blended, colorbuf),
+            jnp.where(win, z, depthbuf),
+        ), None
+
+    (new_color, new_depth), _ = jax.lax.scan(
+        step, (fb.color, fb.depth), (setup.coef, setup.valid, attrs16)
+    )
+    return Framebuffer(color=new_color, depth=new_depth)
+
+
+def is_translucent_draw(d: "DrawSpec") -> bool:
+    """Host-side translucency detection for DrawSpecs.
+
+    Explicit d.translucent wins; otherwise a draw counts as translucent when its
+    COLOR alpha < 1 (host value). Texture-alpha translucency cannot be detected
+    cheaply at trace time — set DrawSpec(translucent=True) explicitly for it.
+    """
+    if d.translucent is not None:
+        return bool(d.translucent)
+    try:
+        import numpy as np
+
+        return float(np.asarray(d.color).reshape(-1)[3]) < 1.0
+    except Exception:
+        return False
 
 
 def audit_scene(view_proj, draws, height, width, light=None,
@@ -323,6 +447,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("chunk", None)
     opts.pop("cols", None)
     opts.pop("skip_shading", None)
+    opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
     # mirror render_fused's defaults (binning's own differ)
     opts.setdefault("tile_h", 32)
     opts.setdefault("tile_w", 128)
@@ -334,7 +459,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     for d in draws:
         model = d.model
         normal_mat = d.normal_mat if d.normal_mat is not None else model
-        mvp = view_proj @ model
+        mvp = mat4mul(view_proj, model)
         setup, _ = prepare_draw(d.mesh, model, view_proj, mvp, normal_mat,
                                 light, d.color, d.shading, width, height,
                                 cull_backfaces, near_clip)
@@ -352,16 +477,29 @@ def audit_scene(view_proj, draws, height, width, light=None,
 
 
 class DrawSpec:
-    """One mesh submission for the batched scene path (draw_meshes)."""
+    """One mesh submission for the batched scene path (draw_meshes).
+
+    sampling: per-draw texture sampling mode ("nearest"/"bilinear"); None
+    inherits draw_meshes' scene-wide sampling_mode. Mixed modes across draws
+    batch into one kernel call (per-triangle flag bit).
+
+    translucent: None = auto-detect from color alpha (is_translucent_draw);
+    True forces the reference-order sequential path (draw_mesh_ordered) for
+    this draw — required when the TEXTURE carries alpha < 1."""
 
     def __init__(self, mesh, model, texture=None, color=(1.0, 1.0, 1.0, 1.0),
-                 shading: str = SHADING_GOURAUD, normal_mat=None):
+                 shading: str = SHADING_GOURAUD, normal_mat=None,
+                 sampling: str | None = None, translucent: bool | None = None):
+        if sampling not in (None, "nearest", "bilinear"):
+            raise ValueError(f"unknown sampling mode {sampling!r}")
         self.mesh = mesh
         self.model = model
         self.texture = texture
         self.color = color
         self.shading = shading
         self.normal_mat = normal_mat
+        self.sampling = sampling
+        self.translucent = translucent
 
 
 def draw_meshes(
@@ -377,6 +515,7 @@ def draw_meshes(
     x_offset=0,
     raster_opts: dict | None = None,
     near_clip: bool = True,
+    return_counters: bool = False,
 ):
     """Batched scene submission: ALL opaque meshes rasterize + shade in ONE fused
     kernel invocation (the multi-mesh analog of the reference's per-frame scene,
@@ -385,11 +524,13 @@ def draw_meshes(
     Exactly equivalent to sequential fused draw_mesh calls for opaque geometry:
     the z-test winner is order-independent (FORMULAS.md) and blending happens once
     against the pre-scene framebuffer. Each draw keeps its own texture (packed
-    into one LUT with per-triangle base offsets), per-vertex lighting mode, and
-    color; `sampling_mode` is scene-wide.
+    into one LUT with per-triangle base offsets), per-vertex lighting mode,
+    color, and sampling mode (DrawSpec.sampling overrides the scene-wide
+    `sampling_mode`; mixing nearest + bilinear draws stays one kernel call).
     """
     from dtrenderer_tpu.ops.render_fused import (
-        PAYLOAD_CHANNELS, make_texture_lut, render_fused,
+        PAYLOAD_CHANNELS, SAMPLE_MIXED, make_texture_lut, pack_flags,
+        render_fused,
     )
 
     if light is None:
@@ -400,28 +541,108 @@ def draw_meshes(
     fh = frame_height if frame_height is not None else h
     fw = frame_width if frame_width is not None else w
 
+    # Translucent draws (color alpha < 1 or explicit DrawSpec.translucent) are
+    # split out: the opaque batch renders first in ONE fused call (order-free,
+    # exact), then translucent draws follow in submission order through the
+    # reference-order sequential path, blending over the opaque result and
+    # writing depth like the reference's forward loop. NOTE: this reorders
+    # translucent draws AFTER opaque ones; for exact reference draw order across
+    # opaque/translucent interleavings, issue sequential draw_mesh_ordered
+    # calls yourself. Counters (return_counters) cover the opaque batch.
+    if any(is_translucent_draw(d) for d in draws):
+        opaque = [d for d in draws if not is_translucent_draw(d)]
+        trans = [(d, d.sampling or sampling_mode) for d in draws
+                 if is_translucent_draw(d)]
+        if opaque:
+            res = draw_meshes(
+                fb, view_proj, opaque, light=light,
+                sampling_mode=sampling_mode, cull_backfaces=cull_backfaces,
+                frame_height=fh, frame_width=fw,
+                y_offset=y_offset, x_offset=x_offset,
+                raster_opts=raster_opts, near_clip=near_clip,
+                return_counters=return_counters,
+            )
+            out, counters = res if return_counters else (res, None)
+        else:
+            out = fb
+            counters = None
+            if return_counters:
+                from dtrenderer_tpu.debug import FrameCounters
+
+                counters = FrameCounters.zero()
+        for d, smp in trans:
+            out = draw_mesh_ordered(
+                out, d.mesh, d.model, view_proj, texture=d.texture,
+                light=light, color=d.color, shading=d.shading,
+                sampling_mode=smp, cull_backfaces=cull_backfaces,
+                normal_mat=d.normal_mat, frame_height=fh, frame_width=fw,
+                y_offset=y_offset, x_offset=x_offset, near_clip=near_clip,
+            )
+        return (out, counters) if return_counters else out
+
+    if sampling_mode not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown sampling mode {sampling_mode!r}")
+    draw_sampling = [d.sampling or sampling_mode for d in draws]
+
     textures = []
     for d in draws:
         textures.append(
             d.texture if d.texture is not None else jnp.ones((1, 1, 4), F32)
         )
+
+    # VMEM texel budget (deduped): when the packed LUT would not fit, fall back
+    # to sequential draw_mesh calls — exact for opaque scenes (order-free depth
+    # resolve), and each call re-applies its own budget routing.
+    from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+
+    total_texels = sum(
+        int(t.shape[0]) * int(t.shape[1])
+        for t in {id(t): t for t in textures}.values()
+    )
+    if total_texels > TEX_BUDGET_TEXELS:
+        out = fb
+        counters = None
+        for d, smp in zip(draws, draw_sampling):
+            res = draw_mesh(
+                out, d.mesh, d.model, view_proj, texture=d.texture,
+                light=light, color=d.color, shading=d.shading,
+                sampling_mode=smp, cull_backfaces=cull_backfaces,
+                normal_mat=d.normal_mat, backend="fused",
+                frame_height=fh, frame_width=fw,
+                y_offset=y_offset, x_offset=x_offset,
+                raster_opts=raster_opts, near_clip=near_clip,
+                return_counters=return_counters,
+            )
+            if return_counters:
+                out, c = res
+                counters = c if counters is None else counters.merge(c)
+            else:
+                out = res
+        return (out, counters) if return_counters else out
+
     tex_lut, meta = make_texture_lut(textures)
+    if all(s == "nearest" for s in draw_sampling):
+        scene_sampling: bool | int = False
+    elif all(s == "bilinear" for s in draw_sampling):
+        scene_sampling = True
+    else:
+        scene_sampling = SAMPLE_MIXED  # per-triangle flag bit decides
 
     coefs, bboxes, valids, payloads = [], [], [], []
     any_phong = False
-    for d, (base, tw_, th_) in zip(draws, meta):
+    for d, smp, (base, tw_, th_) in zip(draws, draw_sampling, meta):
         model = d.model
         normal_mat = d.normal_mat if d.normal_mat is not None else model
-        mvp = view_proj @ model
+        mvp = mat4mul(view_proj, model)
         setup, attrs10 = prepare_draw(
             d.mesh, model, view_proj, mvp, normal_mat, light, d.color,
             d.shading, fw, fh, cull_backfaces, near_clip,
         )
         T = setup.coef.shape[0]
-        is_phong = 1.0 if d.shading == SHADING_PHONG else 0.0
+        flags = pack_flags(d.shading == SHADING_PHONG, smp == "bilinear")
         any_phong = any_phong or d.shading == SHADING_PHONG
         texmeta = jnp.broadcast_to(
-            jnp.asarray([base, tw_, th_, is_phong], F32), (T, 4)
+            jnp.asarray([base, tw_, th_, flags], F32), (T, 4)
         )
         payloads.append(
             jnp.concatenate([texmeta, attrs10.reshape(T, 30)], axis=1)
@@ -436,17 +657,27 @@ def draw_meshes(
     payload = jnp.concatenate(payloads, axis=0)
     assert payload.shape[1] == PAYLOAD_CHANNELS
 
-    z, src = render_fused(
+    z, src, overflow = render_fused(
         coef, bbox, valid, payload, tex_lut,
         light.direction, light.ambient, h, w,
         y_offset=y_offset, x_offset=x_offset,
-        bilinear=(sampling_mode == "bilinear"),
+        bilinear=scene_sampling,
         with_phong=any_phong,
         **(raster_opts or {}),
     )
     win = z < fb.depth
     blended = blend_over(src, fb.color)
-    return Framebuffer(
+    out = Framebuffer(
         color=jnp.where(win[..., None], blended, fb.color),
         depth=jnp.where(win, z, fb.depth),
+    )
+    if not return_counters:
+        return out
+    from dtrenderer_tpu.debug import FrameCounters
+
+    return out, FrameCounters(
+        tris_submitted=jnp.int32(coef.shape[0]),
+        tris_valid=jnp.sum(valid.astype(jnp.int32)),
+        pixels_shaded=jnp.sum(win.astype(jnp.int32)),
+        bin_overflow=overflow,
     )

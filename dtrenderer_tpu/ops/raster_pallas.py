@@ -163,7 +163,9 @@ def rasterize_pallas(
     broad_cap: int = 128,
     interpret: bool | None = None,
 ):
-    """Binned tiled visibility raster. Same contract as rasterize_ref (+offsets).
+    """Binned tiled visibility raster. Returns (z, tri, overflow) — like
+    rasterize_ref (+offsets) plus the bin-overflow count (dropped (tile, tri)
+    pairs; nonzero means raise `capacity`).
 
     coef/bbox/valid from geometry.triangle_setup in FULL-frame coordinates;
     height/width are THIS shard's dims, y/x_offset its origin in the frame.
@@ -201,4 +203,4 @@ def rasterize_pallas(
         bins.setup, bins.counts, offsets, height, width,
         tile_h, tile_w, capacity, interpret,
     )
-    return z, tri
+    return z, tri, bins.overflow

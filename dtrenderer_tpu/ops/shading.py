@@ -34,9 +34,13 @@ def make_light(direction=(0.0, 0.0, 1.0), ambient=0.1) -> Light:
 
 
 def normalize_exact(v):
-    """v / sqrt(dot(v,v)) — FORMULAS.md: true divide + sqrt, no rsqrt."""
+    """v / sqrt(dot(v,v)) — FORMULAS.md: true divide + sqrt, no rsqrt.
+
+    Zero-length vectors pass through unchanged (dot == 0 -> divide by 1), so a
+    degenerate interpolated normal yields ndl = 0 (ambient-lit), matching the
+    fused kernel's d > 0 guard and the oracle."""
     d = jnp.sum(v * v, axis=-1, keepdims=True)
-    return v / jnp.sqrt(d)
+    return v / jnp.sqrt(jnp.where(d > 0, d, F32(1.0)))
 
 
 def lambert(normals, light: Light):

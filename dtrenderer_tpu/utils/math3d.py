@@ -145,7 +145,26 @@ def look_at(eye, target, up):
     rot = jnp.stack([right, up2, -fwd])  # world -> view rotation rows
     m = jnp.eye(4, dtype=F32)
     m = m.at[:3, :3].set(rot)
-    return m.at[:3, 3].set(-(rot @ eye))
+    # explicit mat3·vec (exact f32; see mat4mul for why not `@`)
+    t = -(rot[:, 0] * eye[0] + rot[:, 1] * eye[1] + rot[:, 2] * eye[2])
+    return m.at[:3, 3].set(t)
+
+
+def mat4mul(a, b):
+    """Exact 4x4 composition in fixed op order (FORMULAS.md).
+
+    NEVER use the `@` operator to compose matrices that reach the device: on
+    TPU the default-precision matmul runs with bfloat16 inputs and corrupts the
+    MVP badly enough to cull entire meshes (verified on hardware). This
+    broadcast form lowers to exact f32 VPU ops with the same accumulation
+    order as transform_points: out_ij = (a_i0*b_0j + a_i1*b_1j) + (a_i2*b_2j
+    + a_i3*b_3j). Chains left-assoc: mat4mul(mat4mul(T, R), S).
+    """
+    a = jnp.asarray(a, F32)
+    b = jnp.asarray(b, F32)
+    return (a[:, 0:1] * b[0:1, :] + a[:, 1:2] * b[1:2, :]) + (
+        a[:, 2:3] * b[2:3, :] + a[:, 3:4] * b[3:4, :]
+    )
 
 
 def transform_points(points4, mat4):
@@ -191,4 +210,4 @@ def model_matrix(position=(0.0, 0.0, 0.0), rotation=None, scale_v=1.0):
     """Convenience: T @ R @ S, mirroring the reference's per-mesh
     pos/rotation/scale submit parameters (SURVEY.md CS-2 DTRRender_Mesh)."""
     r = identity() if rotation is None else rotation
-    return translate(position) @ r @ scale(scale_v)
+    return mat4mul(mat4mul(translate(position), r), scale(scale_v))

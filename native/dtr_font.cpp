@@ -14,6 +14,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
 #include <vector>
 
 namespace {
@@ -70,6 +71,10 @@ bool font_init(Font* f, const uint8_t* data, int64_t n) {
     int64_t rec = base + 12 + 16 * i;
     uint32_t t = r.u32(rec);
     int64_t off = r.u32(rec + 8);
+    int64_t len = r.u32(rec + 12);
+    // A table whose bytes lie outside the buffer (truncated/corrupt file) is
+    // treated as absent, so required-table checks below reject the font.
+    if (!r.ok(off, len)) continue;
     switch (t) {
       case 0x676C7966: f->glyf = off; break;  // glyf
       case 0x6C6F6361: f->loca = off; break;  // loca
@@ -408,13 +413,47 @@ struct DtrFontAtlas {
   char error[256];
 };
 
+static DtrFontAtlas* dtr_font_bake_impl(DtrFontAtlas* a, const uint8_t* data,
+                                        int64_t n, float pixel_size,
+                                        int32_t first_char, int32_t num_chars,
+                                        int32_t grid_cols);
+
 DtrFontAtlas* dtr_font_bake(const uint8_t* data, int64_t n, float pixel_size,
                             int32_t first_char, int32_t num_chars,
                             int32_t grid_cols) {
   auto* a = (DtrFontAtlas*)calloc(1, sizeof(DtrFontAtlas));
+  if (!a) return nullptr;
+  // A corrupt TTF must produce an error field, never crash the host process:
+  // all glyph-derived sizes are bounded below and the body cannot throw across
+  // the extern "C" boundary.
+  try {
+    return dtr_font_bake_impl(a, data, n, pixel_size, first_char, num_chars,
+                              grid_cols);
+  } catch (const std::exception& e) {
+    snprintf(a->error, sizeof(a->error), "ttf: %s", e.what());
+    free(a->atlas); free(a->metrics);
+    a->atlas = nullptr; a->metrics = nullptr;
+    return a;
+  } catch (...) {
+    snprintf(a->error, sizeof(a->error), "ttf: internal error");
+    free(a->atlas); free(a->metrics);
+    a->atlas = nullptr; a->metrics = nullptr;
+    return a;
+  }
+}
+
+static DtrFontAtlas* dtr_font_bake_impl(DtrFontAtlas* a, const uint8_t* data,
+                                        int64_t n, float pixel_size,
+                                        int32_t first_char, int32_t num_chars,
+                                        int32_t grid_cols) {
   Font f;
   if (!font_init(&f, data, n)) {
     snprintf(a->error, sizeof(a->error), "ttf: unsupported or corrupt font");
+    return a;
+  }
+  if (num_chars <= 0 || num_chars > 65536 || grid_cols <= 0 ||
+      pixel_size <= 0.0f || pixel_size > 4096.0f) {
+    snprintf(a->error, sizeof(a->error), "ttf: bad bake parameters");
     return a;
   }
   float scale = pixel_size / (float)f.units_per_em;
@@ -458,6 +497,17 @@ DtrFontAtlas* dtr_font_bake(const uint8_t* data, int64_t n, float pixel_size,
     bx[i] = 0.0f;
   }
   int rows = (num_chars + grid_cols - 1) / grid_cols;
+  // cell_w/cell_h derive from attacker-controllable glyph coordinates: bound
+  // them (and the atlas) so int32 dims cannot overflow and a corrupt font
+  // cannot demand an absurd allocation.
+  if (cell_w <= 0 || cell_w > 4096 || cell_h <= 0 || cell_h > 4096 ||
+      (int64_t)cell_w * grid_cols > 65536 || (int64_t)cell_h * rows > 65536 ||
+      (int64_t)cell_w * grid_cols * cell_h * rows > (int64_t)1 << 28) {
+    snprintf(a->error, sizeof(a->error),
+             "ttf: atlas dimensions out of bounds (cell %dx%d, grid %dx%d)",
+             cell_w, cell_h, grid_cols, rows);
+    return a;
+  }
   a->cell_w = cell_w;
   a->cell_h = cell_h;
   a->atlas_w = cell_w * grid_cols;
@@ -468,6 +518,12 @@ DtrFontAtlas* dtr_font_bake(const uint8_t* data, int64_t n, float pixel_size,
   a->ascent_px = ascent_px;
   a->atlas = (uint8_t*)calloc(1, (size_t)a->atlas_w * a->atlas_h);
   a->metrics = (float*)calloc((size_t)num_chars * 4, sizeof(float));
+  if (!a->atlas || !a->metrics) {
+    free(a->atlas); free(a->metrics);
+    a->atlas = nullptr; a->metrics = nullptr;
+    snprintf(a->error, sizeof(a->error), "ttf: atlas allocation failed");
+    return a;
+  }
   std::vector<uint8_t> cell((size_t)cell_w * cell_h);
   for (int i = 0; i < num_chars; i++) {
     rasterize(outlines[i], cell.data(), cell_w, cell_h);

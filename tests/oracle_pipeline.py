@@ -15,8 +15,10 @@ f32 = np.float32
 
 
 def _normalize(v):
+    # d > 0 guard: zero-length vectors pass through (ambient-lit), matching
+    # shading.normalize_exact and the fused kernel (FORMULAS.md "Lighting").
     d = np.sum(v * v, axis=-1, keepdims=True).astype(f32)
-    return (v / np.sqrt(d)).astype(f32)
+    return (v / np.sqrt(np.where(d > 0, d, f32(1.0)))).astype(f32)
 
 
 def _light_term(normals, light_dir, ambient):
@@ -108,6 +110,28 @@ class MeshOracle:
             [q[..., None], uvq, rgbaq, nq, np.zeros((T, 3, 3), f32)], axis=-1
         ).astype(f32)  # [T, 3, 16]
 
+    def _shade_fragment(self, t, b):
+        """Shade triangle t's fragment with barycentrics b -> premultiplied src."""
+        one = f32(1.0)
+        a = self.attrs[t]  # [3, 16]
+        ip = oracle.interp(b, a[0], a[1], a[2])
+        qf = ip[0]
+        inv_qf = one / (qf if qf != 0 else one)
+        u = ip[1] * inv_qf
+        v = ip[2] * inv_qf
+        rgba = (ip[3:7] * inv_qf).astype(f32)
+        if self.sampling == "nearest":
+            texel = oracle.sample_nearest(self.texture, u, v)
+        else:
+            texel = oracle.sample_bilinear(self.texture, u, v)
+        src = (texel * rgba).astype(f32)
+        if self.shading == "phong":
+            n = (ip[7:10] * inv_qf).astype(f32)
+            term = _light_term(n[None, :], self.light_dir, self.ambient)[0]
+            src = src.copy()
+            src[:3] = (src[:3] * term).astype(f32)
+        return src
+
     def render(self, fb_color, fb_depth):
         """Apply the draw call: returns (new_color, new_depth) f32 arrays."""
         h, w = self.h, self.w
@@ -131,24 +155,40 @@ class MeshOracle:
                 px = f32(ix) + f32(0.5)
                 py = f32(iy) + f32(0.5)
                 _, _, b = to.coverage(px, py)
-                a = self.attrs[t]  # [3, 16]
-                ip = oracle.interp(b, a[0], a[1], a[2])
-                qf = ip[0]
-                inv_qf = one / (qf if qf != 0 else one)
-                u = ip[1] * inv_qf
-                v = ip[2] * inv_qf
-                rgba = (ip[3:7] * inv_qf).astype(f32)
-                if self.sampling == "nearest":
-                    texel = oracle.sample_nearest(self.texture, u, v)
-                else:
-                    texel = oracle.sample_bilinear(self.texture, u, v)
-                src = (texel * rgba).astype(f32)
-                if self.shading == "phong":
-                    n = (ip[7:10] * inv_qf).astype(f32)
-                    term = _light_term(n[None, :], self.light_dir, self.ambient)[0]
-                    src = src.copy()
-                    src[:3] = (src[:3] * term).astype(f32)
+                src = self._shade_fragment(t, b)
                 dst = new_color[iy, ix]
                 new_color[iy, ix] = src + dst * (one - src[3])
                 new_depth[iy, ix] = zbuf[iy, ix]
+        return new_color, new_depth
+
+    def render_sequential(self, fb_color, fb_depth):
+        """Reference forward-loop semantics (SURVEY.md CS-2 ★HOT LOOP): per
+        triangle IN SUBMISSION ORDER, per pixel: coverage -> z-test against the
+        CURRENT depth -> shade -> blend -> depth WRITE. For opaque geometry this
+        equals render(); for overlapping TRANSLUCENT triangles it stacks them in
+        submission order — the oracle for pipeline.draw_mesh_ordered."""
+        h, w = self.h, self.w
+        new_color = fb_color.copy()
+        new_depth = fb_depth.copy()
+        one = f32(1.0)
+        for t in range(self.faces.shape[0]):
+            to = oracle.TriOracle(
+                self.screen[self.faces[t, 0]],
+                self.screen[self.faces[t, 1]],
+                self.screen[self.faces[t, 2]],
+                w, h, self.cull,
+            )
+            if not to.valid:
+                continue
+            for iy in range(to.by0, to.by1 + 1):
+                for ix in range(to.bx0, to.bx1 + 1):
+                    px = f32(ix) + f32(0.5)
+                    py = f32(iy) + f32(0.5)
+                    inside, z, b = to.coverage(px, py)
+                    if not inside or not (z < new_depth[iy, ix]):
+                        continue
+                    src = self._shade_fragment(t, b)
+                    dst = new_color[iy, ix]
+                    new_color[iy, ix] = src + dst * (one - src[3])
+                    new_depth[iy, ix] = z
         return new_color, new_depth

@@ -74,3 +74,21 @@ def test_transform_points_matches_numpy_matmul():
     got = np.asarray(m3.transform_points(jnp.asarray(pts), jnp.asarray(m)))
     want = pts @ m.T
     assert np.allclose(got, want, atol=1e-4)
+
+
+def test_mat4mul_exact_vs_reference_order():
+    """mat4mul must equal the FORMULAS.md accumulation order bit-for-bit (no
+    MXU, no bf16 — the TPU default-precision matmul corrupts MVPs)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dtrenderer_tpu.utils import math3d as m3
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        a = rng.uniform(-4, 4, (4, 4)).astype(np.float32)
+        b = rng.uniform(-4, 4, (4, 4)).astype(np.float32)
+        want = (a[:, 0:1] * b[0:1] + a[:, 1:2] * b[1:2]) + (
+            a[:, 2:3] * b[2:3] + a[:, 3:4] * b[3:4])
+        got = np.asarray(m3.mat4mul(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(want.astype(np.float32), got)

@@ -75,3 +75,24 @@ def test_shapes_agree_with_pil(baked):
         union = (ours | theirs).sum()
         iou = inter / max(union, 1)
         assert iou > 0.5, f"glyph {c!r} IoU {iou:.2f} vs PIL"
+
+
+def test_corrupt_ttf_returns_error_not_crash(tmp_path, baked):
+    """A corrupt/truncated TTF must surface an error field, never crash."""
+    ttf = baked[0]
+    raw = open(ttf, "rb").read()
+
+    bad = tmp_path / "bad.ttf"
+    # truncated file
+    bad.write_bytes(raw[:256])
+    with pytest.raises(IOError):
+        native.bake_font_file(str(bad), 16.0)
+    # garbage bytes
+    bad.write_bytes(b"\x00\xff" * 4096)
+    with pytest.raises(IOError):
+        native.bake_font_file(str(bad), 16.0)
+    # absurd bake parameters must be rejected, not allocated
+    with pytest.raises(IOError):
+        native.bake_font_file(ttf, 1e9)
+    with pytest.raises(IOError):
+        native.bake_font_file(ttf, 16.0, num_chars=10**6)

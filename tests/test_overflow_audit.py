@@ -53,3 +53,59 @@ def test_audit_detects_overflow():
         raster_opts=dict(tile_h=32, capacity=128, small_span=8),
     )
     assert overflow > 0, "dense scene at tiny capacity must report overflow"
+
+
+def test_overflow_flows_out_of_jitted_production_path():
+    """Overflow must surface from the PUBLIC API (draw_mesh / draw_meshes with
+    return_counters) as a device scalar inside jit — not only via the host-side
+    opt-in audit — so production frames can report drops instead of silently
+    losing geometry."""
+    import jax
+
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import draw_mesh, draw_meshes
+
+    h, w = 256, 256
+    proj = jnp.asarray(m3.perspective(np.pi / 3, 1.0, 0.1, 100.0))
+    soup = primitives.random_triangle_soup(20_000, rng_seed=3, extent=0.5)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.2)))
+    tiny = dict(tile_h=32, capacity=128, small_span=8)
+
+    @jax.jit
+    def frame(color, depth):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        out, counters = draw_mesh(
+            fb, soup, mdl, proj, backend="fused", near_clip=False,
+            raster_opts=tiny, return_counters=True,
+        )
+        return out.color, counters
+
+    fb0 = fblib.create(h, w)
+    _, counters = frame(fb0.color, fb0.depth)
+    assert int(counters.bin_overflow) > 0, "over-capacity draw must report drops"
+
+    # batched path reports too, and a sane capacity reports zero
+    @jax.jit
+    def frame2(color, depth):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        out, counters = draw_meshes(
+            fb, proj, [DrawSpec(soup, mdl)], near_clip=False,
+            raster_opts=tiny, return_counters=True,
+        )
+        return out.color, counters
+
+    _, counters2 = frame2(fb0.color, fb0.depth)
+    assert int(counters2.bin_overflow) > 0
+
+    @jax.jit
+    def frame3(color, depth):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        out, counters = draw_mesh(
+            fb, soup, mdl, proj, backend="fused", near_clip=False,
+            raster_opts=dict(tile_h=32, capacity=2048, small_span=8),
+            return_counters=True,
+        )
+        return out.color, counters
+
+    _, counters3 = frame3(fb0.color, fb0.depth)
+    assert int(counters3.bin_overflow) == 0

@@ -30,7 +30,7 @@ def _compare(screen, faces, h, w, cull=False, **kw):
         jnp.asarray(screen), jnp.asarray(faces), w, h, cull_backfaces=cull
     )
     z1, t1 = rasterize_ref(setup.coef, setup.valid, h, w)
-    z2, t2 = rasterize_pallas(setup.coef, setup.bbox, setup.valid, h, w, **{**KW, **kw})
+    z2, t2, _ = rasterize_pallas(setup.coef, setup.bbox, setup.valid, h, w, **{**KW, **kw})
     assert (np.asarray(t1) == np.asarray(t2)).all(), (
         f"{(np.asarray(t1) != np.asarray(t2)).sum()} tri-id mismatches"
     )
@@ -64,9 +64,9 @@ def test_band_offsets_match_full_frame(rng):
     setup = geometry.triangle_setup(
         jnp.asarray(screen), jnp.asarray(faces), 256, 96, cull_backfaces=False
     )
-    z_full, t_full = rasterize_pallas(setup.coef, setup.bbox, setup.valid, 96, 256, **KW)
+    z_full, t_full, _ = rasterize_pallas(setup.coef, setup.bbox, setup.valid, 96, 256, **KW)
     for y0, bh in [(0, 32), (32, 32), (64, 32)]:
-        z_b, t_b = rasterize_pallas(
+        z_b, t_b, _ = rasterize_pallas(
             setup.coef, setup.bbox, setup.valid, bh, 256, y_offset=y0, **KW
         )
         assert np.array_equal(np.asarray(t_full)[y0:y0 + bh], np.asarray(t_b))

@@ -86,11 +86,12 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
 def test_frame_counters_merge():
     from dtrenderer_tpu.debug import FrameCounters
 
-    a = FrameCounters(jnp.int32(3), jnp.int32(2), jnp.int32(100))
-    b = FrameCounters(jnp.int32(1), jnp.int32(1), jnp.int32(50))
+    a = FrameCounters(jnp.int32(3), jnp.int32(2), jnp.int32(100), jnp.int32(0))
+    b = FrameCounters(jnp.int32(1), jnp.int32(1), jnp.int32(50), jnp.int32(2))
     m = a.merge(b)
     assert int(m.tris_submitted) == 4
     assert int(m.pixels_shaded) == 150
+    assert int(m.bin_overflow) == 2
 
 
 def test_frame_timer():

@@ -1,0 +1,158 @@
+"""Reference-order translucency within a draw (VERDICT r1 missing #3 / next #7).
+
+The reference's sequential per-pixel loop stacks overlapping translucent triangles
+in submission order with depth writes (SURVEY.md CS-2). pipeline.draw_mesh_ordered
+reproduces those semantics on device; MeshOracle.render_sequential is its scalar
+oracle. For opaque geometry the ordered path must agree with the order-free paths.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu.models.mesh import make_mesh
+from dtrenderer_tpu.models import primitives
+from dtrenderer_tpu.ops import fb as fblib
+from dtrenderer_tpu.ops.pipeline import (
+    DrawSpec, draw_mesh, draw_mesh_ordered, draw_meshes,
+)
+from dtrenderer_tpu.ops.shading import make_light
+from dtrenderer_tpu.utils import math3d as m3
+from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+import oracle
+from oracle_pipeline import MeshOracle
+
+H, W = 60, 80
+CLEAR = (0.05, 0.05, 0.1, 1.0)
+
+
+def _two_overlapping_tris():
+    """ONE mesh with two overlapping translucent triangles at different depths:
+    the far one submitted FIRST, so the near one must blend over it and both
+    must contribute where they overlap (prefix-minima stacking)."""
+    verts = np.array(
+        [
+            # far triangle (z = -0.2 relative), submitted first
+            [-0.7, -0.6, -0.2], [0.7, -0.5, -0.2], [0.0, 0.7, -0.2],
+            # near triangle, overlapping the middle
+            [-0.5, -0.3, 0.2], [0.6, -0.2, 0.2], [0.1, 0.5, 0.2],
+        ],
+        np.float32,
+    )
+    normals = np.tile([[0, 0, 1]], (6, 1)).astype(np.float32)
+    return make_mesh(verts, None, normals,
+                     np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+
+
+def _run(mesh, color, shading="none", sampl="nearest", texture=None):
+    model = np.asarray(m3.translate([0, 0, -2.0]), np.float32)
+    proj = np.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0), np.float32)
+    mvp = (proj @ model).astype(np.float32)
+    light = make_light((0.3, 0.5, 1.0), 0.15)
+
+    fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb = draw_mesh_ordered(
+        fb, mesh, jnp.asarray(model), jnp.asarray(proj), mvp=jnp.asarray(mvp),
+        texture=texture, light=light, color=color, shading=shading,
+        sampling_mode=sampl,
+    )
+
+    mo = MeshOracle(
+        np.asarray(mesh.verts), np.asarray(mesh.uv), np.asarray(mesh.normals),
+        np.asarray(mesh.faces), model, mvp, model,
+        np.asarray(texture) if texture is not None else np.ones((1, 1, 4), np.float32),
+        (0.3, 0.5, 1.0), 0.15, color, shading, sampl, True, H, W,
+    )
+    ref_c0 = np.broadcast_to(np.asarray(CLEAR, np.float32), (H, W, 4)).copy()
+    ref_z0 = np.full((H, W), np.inf, np.float32)
+    ref_c, ref_z = mo.render_sequential(ref_c0, ref_z0)
+    return fb, ref_c, ref_z
+
+
+def _assert_u8(dev_color, ref_color, max_bad=0):
+    dev_u8 = np.asarray(pack_srgb_u8(jnp.asarray(dev_color))).astype(np.int32)
+    ref_u8 = oracle.pack_srgb_u8(ref_color).astype(np.int32)
+    diff = np.abs(dev_u8 - ref_u8)
+    bad = (diff > 1).sum()
+    assert bad <= max_bad, f"{bad} channels differ by >1 (max {diff.max()})"
+
+
+def test_overlapping_translucent_tris_one_mesh_match_oracle():
+    mesh = _two_overlapping_tris()
+    fb, ref_c, ref_z = _run(mesh, (0.9, 0.4, 0.2, 0.45))
+    _assert_u8(fb.color, ref_c)
+    dev_z = np.asarray(fb.depth)
+    finite = np.isfinite(ref_z)
+    assert np.array_equal(np.isfinite(dev_z), finite)
+    np.testing.assert_allclose(dev_z[finite], ref_z[finite], rtol=1e-4)
+    # sanity: the overlap region actually shows BOTH layers (deferred single-
+    # winner shading could not produce this color)
+    dev_u8 = np.asarray(pack_srgb_u8(fb.color))
+    fb1 = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    model = np.asarray(m3.translate([0, 0, -2.0]), np.float32)
+    proj = np.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0), np.float32)
+    fb1 = draw_mesh(fb1, mesh, jnp.asarray(model), jnp.asarray(proj),
+                    color=(0.9, 0.4, 0.2, 0.45), shading="none", backend="ref")
+    single_u8 = np.asarray(pack_srgb_u8(fb1.color))
+    assert not np.array_equal(dev_u8, single_u8)
+
+
+def test_ordered_translucent_textured_gouraud():
+    mesh = _two_overlapping_tris()
+    tex = primitives.checkerboard(8, 2)
+    fb, ref_c, _ = _run(mesh, (0.8, 0.8, 0.9, 0.6), shading="gouraud",
+                        sampl="bilinear", texture=tex)
+    _assert_u8(fb.color, ref_c)
+
+
+def test_ordered_equals_unordered_for_opaque():
+    """For opaque geometry the ordered path is bit-identical to the deferred
+    ref path (the order-free split's exactness claim, FORMULAS.md)."""
+    cube = primitives.cube()
+    model = jnp.asarray(m3.model_matrix((0, 0, -4.0), m3.rotate_y(0.7)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    tex = primitives.checkerboard(8, 2)
+
+    fb_a = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb_a = draw_mesh(fb_a, cube, model, proj, texture=tex, light=light,
+                     shading="gouraud", sampling_mode="bilinear", backend="ref")
+    fb_b = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb_b = draw_mesh_ordered(fb_b, cube, model, proj, texture=tex, light=light,
+                             shading="gouraud", sampling_mode="bilinear")
+    # packed-u8 equality (raw f32 may differ by XLA FMA contraction between the
+    # two program shapes — the repo's parity convention, CLAUDE.md)
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(fb_a.color)), np.asarray(pack_srgb_u8(fb_b.color))
+    )
+    assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
+
+
+def test_draw_meshes_routes_translucent_specs():
+    """draw_meshes: opaque batch fused first, translucent DrawSpecs after in
+    submission order via the ordered path — equals the manual composition."""
+    cube = primitives.cube()
+    tmesh = _two_overlapping_tris()
+    m_cube = jnp.asarray(m3.model_matrix((0.2, 0, -5.0), m3.rotate_y(0.4)))
+    m_t = jnp.asarray(m3.translate([0, 0, -2.0]))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    tcolor = (0.9, 0.4, 0.2, 0.45)
+
+    fb_a = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb_a = draw_meshes(
+        fb_a, proj,
+        [
+            DrawSpec(tmesh, m_t, color=tcolor, shading="none"),  # translucent
+            DrawSpec(cube, m_cube, shading="gouraud"),           # opaque
+        ],
+        light=light, sampling_mode="nearest",
+    )
+
+    fb_b = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb_b = draw_meshes(fb_b, proj, [DrawSpec(cube, m_cube, shading="gouraud")],
+                       light=light, sampling_mode="nearest")
+    fb_b = draw_mesh_ordered(fb_b, tmesh, m_t, proj, light=light, color=tcolor,
+                             shading="none", sampling_mode="nearest")
+    assert np.array_equal(np.asarray(fb_a.color), np.asarray(fb_b.color))
+    assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))

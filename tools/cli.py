@@ -86,8 +86,9 @@ def main():
 
         def frame(color, depth, t):
             fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
-            mdl = (m3.translate((0, 0, -2.8 * radius)) @ m3.rotate_y(t)
-                   @ m3.translate(-center))
+            mdl = m3.mat4mul(
+                m3.mat4mul(m3.translate((0, 0, -2.8 * radius)), m3.rotate_y(t)),
+                m3.translate(-center))
             fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
                            shading="gouraud", sampling_mode="bilinear",
                            backend=args.backend)

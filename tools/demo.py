@@ -36,25 +36,28 @@ def demo_frame(state, t: float, cube_mesh, sphere_mesh, tex, grad, backend: str)
     # 3D scene: textured flat-lit cube (config-2 style), Gouraud+bilinear sphere
     # (config-3 style), Phong cube (config-4 style).
     m_cube = m3.model_matrix(
-        (-1.4, 0.2, -5.0), m3.rotate_y(t * 1.1) @ m3.rotate_x(t * 0.7)
+        (-1.4, 0.2, -5.0), m3.mat4mul(m3.rotate_y(t * 1.1), m3.rotate_x(t * 0.7))
     )
     m_sphere = m3.model_matrix((1.5, -0.2, -6.0), m3.rotate_y(t * 0.6), 1.4)
     m_cube2 = m3.model_matrix(
-        (0.1, 1.2, -7.5), m3.rotate_y(t * 0.9) @ m3.rotate_z(t * 0.4), 0.8
+        (0.1, 1.2, -7.5), m3.mat4mul(m3.rotate_y(t * 0.9), m3.rotate_z(t * 0.4)), 0.8
     )
+    counters = None
     if backend == "fused":
-        # one batched submission (sampling is scene-wide: bilinear)
+        # one batched submission; sampling is per-draw (flat cube: nearest,
+        # like the reference's blocky texture look; rest bilinear)
         from dtrenderer_tpu.ops.pipeline import DrawSpec
 
-        state = api.render_meshes(
+        state, counters = api.render_meshes(
             state, proj,
             [
-                DrawSpec(cube_mesh, m_cube, texture=tex, shading="flat"),
+                DrawSpec(cube_mesh, m_cube, texture=tex, shading="flat",
+                         sampling="nearest"),
                 DrawSpec(sphere_mesh, m_sphere, texture=grad, shading="gouraud"),
                 DrawSpec(cube_mesh, m_cube2, color=rgba(0.9, 0.4, 0.9, 1.0),
                          shading="phong"),
             ],
-            light=light, sampling_mode="bilinear",
+            light=light, sampling_mode="bilinear", return_counters=True,
         )
     else:
         state = api.render_mesh(
@@ -85,7 +88,7 @@ def demo_frame(state, t: float, cube_mesh, sphere_mesh, tex, grad, backend: str)
         state, bmp, (w - 220, 40),
         api.transform2d(rotation=-t, scale=3.0), sampling_mode="bilinear",
     )
-    return state
+    return state, counters
 
 
 def main():
@@ -108,22 +111,23 @@ def main():
     # traced once, replayed per frame; state pytree flows through.
     @jax.jit
     def frame_fn(state, t):
-        state = demo_frame(state, t, cube_mesh, sphere_mesh, tex, grad, args.backend)
-        return state, api.finish_frame(state)
+        state, counters = demo_frame(state, t, cube_mesh, sphere_mesh, tex,
+                                     grad, args.backend)
+        return state, api.finish_frame(state), counters
 
     state = api.new_state(args.w, args.h)
     img = None
     t0 = time.perf_counter()
-    _, _img = jax.block_until_ready(frame_fn(state, jnp.float32(0.0)))
+    _ = jax.block_until_ready(frame_fn(state, jnp.float32(0.0)))
     print(f"compile+first frame: {(time.perf_counter() - t0) * 1000:.0f} ms")
     for i in range(args.frames):
         t0 = time.perf_counter()
         t = 0.6 + i * 0.03
-        state, img_dev = frame_fn(state, jnp.float32(t))
+        state, img_dev, counters = frame_fn(state, jnp.float32(t))
         img_dev = jax.block_until_ready(img_dev)
         hud.end_frame_timing()
         hud.push_text("dtrenderer_tpu demo  backend=%s" % args.backend)
-        state = state._replace(fb=hud.render(state.fb))
+        state = state._replace(fb=hud.render(state.fb, counters))
         img = np.asarray(api.finish_frame(state))
         dt = (time.perf_counter() - t0) * 1000
         print(f"frame {i}: {dt:8.1f} ms  ({args.w}x{args.h})")

@@ -1,0 +1,175 @@
+"""TPU hardware smoke gate: compile + run every Pallas kernel variant on the
+real chip before trusting bench numbers or shipping kernel edits.
+
+WHY THIS EXISTS: the automated suite runs Pallas in interpret mode on CPU
+(tests/conftest.py), and interpret mode accepts programs Mosaic REJECTS on
+hardware (lane-span gathers, shape casts — CLAUDE.md "Platform gotchas"). A
+kernel edit can pass the whole suite and still fail to compile on the chip.
+This script is the gate the interpret-mode suite cannot be: it hardware-
+compiles the production kernels at their tuned configurations and runs one
+frame each, checking output sanity.
+
+Usage:  timeout 1800 python tools/tpu_smoke.py          (~2 min warm-cache,
+        first-ever run pays remote compiles: minutes per program)
+Run it: before any bench.py run, after ANY edit to ops/render_fused.py,
+        ops/raster_pallas.py, or ops/binning.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    fn()
+    print(f"  ok: {name}  ({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"tpu_smoke must run on the TPU (got {jax.default_backend()}); "
+        "interpret mode cannot catch Mosaic failures")
+    print(f"tpu_smoke: {jax.devices()}", file=sys.stderr)
+
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_mesh, draw_meshes
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+
+    h, w = 1080, 1920
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    sphere = primitives.uv_sphere(24, 32)
+    tex = primitives.checkerboard(64, 8)
+    models = [
+        jnp.asarray(m3.model_matrix((x, y, -3.2), m3.rotate_y(0.3 * (x + y)), 1.05))
+        for x in (-1.2, 0.0, 1.2) for y in (-0.7, 0.7)
+    ]
+    fb0 = fblib.create(h, w)
+
+    def sane(fb):
+        cov = int(np.asarray(jnp.sum(jnp.isfinite(fb.depth), dtype=jnp.int32)))
+        mx = float(np.asarray(jnp.max(fb.color)))
+        assert cov > 1000 and np.isfinite(mx), f"degenerate output cov={cov}"
+
+    # 1. fused kernel, bench config (phong + bilinear, tile 64x128 cap 256)
+    def fused_bench():
+        @jax.jit
+        def f(color, depth):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0, 0, 0, 1], jnp.float32))
+            return draw_meshes(
+                fb, proj,
+                [DrawSpec(sphere, m, texture=tex, shading="phong")
+                 for m in models],
+                light=light, sampling_mode="bilinear",
+                raster_opts=dict(tile_h=64, tile_w=128, capacity=256),
+            )
+        out = jax.block_until_ready(f(fb0.color, fb0.depth))
+        sane(out)
+
+    # 2. fused kernel, soup config (gouraud/nearest, tile 16x128 cap 512)
+    def fused_soup():
+        soup = primitives.random_triangle_soup(200_000, rng_seed=11, extent=1.6)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+
+        @jax.jit
+        def f(color, depth):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0, 0, 0, 1], jnp.float32))
+            return draw_meshes(
+                fb, proj, [DrawSpec(soup, mdl, shading="gouraud")],
+                sampling_mode="nearest", near_clip=False,
+                raster_opts=dict(tile_h=16, capacity=512, small_span=8),
+            )
+        out = jax.block_until_ready(f(fb0.color, fb0.depth))
+        sane(out)
+
+    # 3. fused kernel, MIXED per-draw sampling (dedicated Mosaic path)
+    def fused_mixed():
+        cube = primitives.cube()
+        m1 = jnp.asarray(m3.model_matrix((-1, 0, -4), m3.rotate_y(0.5)))
+
+        @jax.jit
+        def f(color, depth):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0, 0, 0, 1], jnp.float32))
+            return draw_meshes(
+                fb, proj,
+                [DrawSpec(cube, m1, texture=tex, sampling="nearest"),
+                 DrawSpec(sphere, models[0], texture=tex, shading="phong",
+                          sampling="bilinear")],
+                light=light, sampling_mode="bilinear",
+                raster_opts=dict(tile_h=64, tile_w=128, capacity=256),
+            )
+        out = jax.block_until_ready(f(fb0.color, fb0.depth))
+        sane(out)
+
+    # 4. pallas visibility kernel + deferred shading (fallback path)
+    def pallas_vis():
+        @jax.jit
+        def f(color, depth):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0, 0, 0, 1], jnp.float32))
+            return draw_mesh(fb, sphere, models[0], proj, texture=tex,
+                             light=light, shading="gouraud",
+                             sampling_mode="bilinear", backend="pallas")
+        out = jax.block_until_ready(f(fb0.color, fb0.depth))
+        sane(out)
+
+    # 5. ON-HARDWARE parity: fused vs pure-jnp ref at small res. Catches
+    # Mosaic-only numeric divergence (e.g. a wrong slab/chunk cull) that the
+    # interpret-mode suite is structurally blind to.
+    def parity():
+        from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+        ph, pw = 128, 256
+        pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
+        soup = primitives.random_triangle_soup(3_000, rng_seed=5, extent=1.0)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
+        pfb = fblib.create(ph, pw)
+        clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
+
+        @jax.jit
+        def f_fused(color, depth):
+            fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+            return draw_mesh(fb, soup, mdl, pproj, shading="gouraud",
+                             backend="fused", near_clip=False,
+                             raster_opts=dict(capacity=2048))
+
+        @jax.jit
+        def f_ref(color, depth):
+            fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+            return draw_mesh(fb, soup, mdl, pproj, shading="gouraud",
+                             backend="ref", near_clip=False)
+
+        a = jax.block_until_ready(f_fused(pfb.color, pfb.depth))
+        b = jax.block_until_ready(f_ref(pfb.color, pfb.depth))
+        ua = np.asarray(pack_srgb_u8(a.color)).astype(np.int32)
+        ub = np.asarray(pack_srgb_u8(b.color)).astype(np.int32)
+        bad = (np.abs(ua - ub) > 1).sum()
+        assert bad == 0, f"{bad} u8 channels diverge >1 between fused and ref"
+        za, zb = np.asarray(a.depth), np.asarray(b.depth)
+        assert np.array_equal(np.isfinite(za), np.isfinite(zb)), "coverage diff"
+
+    check("fused/bench-config", fused_bench)
+    check("fused/soup-config", fused_soup)
+    check("fused/mixed-sampling", fused_mixed)
+    check("pallas-visibility", pallas_vis)
+    check("fused-vs-ref-parity(hw)", parity)
+    print("tpu_smoke: ALL KERNELS COMPILE, RUN, AND MATCH ON HARDWARE")
+
+
+if __name__ == "__main__":
+    main()
