@@ -37,7 +37,6 @@ class Bins(NamedTuple):
     setup: jnp.ndarray    # f32 [n_ty, n_tx, K, C]: 16 coef + id (bitcast) + payload
     counts: jnp.ndarray   # i32 [n_ty, n_tx] valid slots per tile (<= K)
     overflow: jnp.ndarray  # i32 [] total (tile,tri) pairs dropped due to capacity
-    setup_t: jnp.ndarray | None = None  # f32 [n_ty, n_tx, C, K] channel-major copy
 
 SETUP_ID_CHANNEL = 16
 
@@ -49,8 +48,7 @@ def _ceil_div(a: int, b: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "with_transposed",
-                     "with_ybounds"),
+                     "small_span", "broad_cap", "with_ybounds"),
 )
 def bin_triangles(
     coef,
@@ -64,19 +62,20 @@ def bin_triangles(
     small_span: int = 32,
     broad_cap: int = 128,
     payload=None,
-    with_transposed: bool = False,
     with_ybounds: bool = False,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
 
     payload: optional f32 [T, P] extra per-triangle channels appended after the id
     channel (used by the fused render kernel for texture metadata + corner attrs).
-    with_transposed: also produce setup_t [n_ty, n_tx, C, K] (channel-major), the
-    layout the fused kernel's slot-gather phase wants.
     with_ybounds: append the triangle's local bbox y0/y1 (pixel rows, f32) as the
     LAST two channels and sort each tile's list by (y0, tri) instead of (tri) —
     y-coherent bins let the kernel's slab loop skip whole (slab, chunk) pairs
     (depth resolve is order-free, so bin order is semantically free).
+
+    NOTE padding slots (slot >= counts[tile]) carry id -1 in the bitcast id
+    channel but GARBAGE (row-0) values in the coef/payload channels — consumers
+    must mask by id or by slot < count, never read padding values.
     """
     T = coef.shape[0]
     n_ty = _ceil_div(height, tile_h)
@@ -104,30 +103,50 @@ def bin_triangles(
     in_span = small[:, None] & (s < n_cover[:, None])
     tile = jnp.where(in_span, tile, n_tiles)                   # sentinel sorts last
 
-    # Multi-key sort (tile major) — no packed wide keys, so any n_tiles x T
-    # combination is safe (int64 would silently truncate to int32 under the
-    # default jax_enable_x64=False anyway). With with_ybounds the secondary key
-    # is the triangle's bbox y0 so each tile's list is y-sorted (see docstring);
-    # the tertiary tri key keeps the order deterministic.
+    # Sort the (tile, tri) pairs tile-major. Fast path: ONE packed int32 key
+    # (tile * (T+1) + rank) — a keys-only sort moves ~2-3x less data than the
+    # multi-key fallback. Only taken when the packed domain fits int32 (the
+    # fallback multi-key sort covers huge n_tiles x T combinations; int64 would
+    # silently truncate under the default jax_enable_x64=False). For
+    # with_ybounds, `rank` is the triangle's rank under (bbox y0, id) — ONE
+    # cheap T-element sort — so each tile's list comes out y-sorted with the
+    # id tie-break, same order the 3-key sort produced.
     tri_ids = jnp.arange(T, dtype=I32)[:, None]
-    tri_val = jnp.where(in_span, tri_ids, 0)
+    packed_fits = (n_tiles + 1) * (T + 1) <= 2**31 - 1
     if with_ybounds:
-        y0_key = jnp.where(in_span, jnp.broadcast_to(bbox[:, 1:2], tile.shape), 0)
-        tile_sorted, _, tri_sorted = jax.lax.sort(
-            (tile.reshape(-1), y0_key.reshape(-1), tri_val.reshape(-1)),
-            num_keys=3,
-        )
+        _, perm = jax.lax.sort(
+            (bbox[:, 1], jnp.arange(T, dtype=I32)), num_keys=2
+        )  # perm[r] = id of the r-th triangle ordered by (y0, id)
+        rank = jnp.zeros((T,), I32).at[perm].set(jnp.arange(T, dtype=I32))
+        rank_b = jnp.broadcast_to(rank[:, None], tile.shape)
     else:
-        tile_sorted, tri_sorted = jax.lax.sort(
-            (tile.reshape(-1), tri_val.reshape(-1)), num_keys=2
+        perm = None
+        rank_b = jnp.broadcast_to(tri_ids, tile.shape)
+
+    if packed_fits:
+        key = jnp.where(in_span, tile * (T + 1) + rank_b,
+                        I32(n_tiles * (T + 1)))
+        key_sorted = jax.lax.sort(key.reshape(-1))
+        bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
+        starts = jnp.searchsorted(key_sorted, bounds)
+        counts_small = (starts[1:] - starts[:-1]).astype(I32)  # [n_tiles]
+        j = jnp.arange(K, dtype=I32)[None, :]                  # [1, K]
+        pos = jnp.minimum(starts[:-1][:, None] + j, T * small_span - 1)
+        rank_g = key_sorted[pos] % (T + 1)                     # [n_tiles, K]
+    else:
+        rank_val = jnp.where(in_span, rank_b, 0)
+        tile_sorted, rank_sorted = jax.lax.sort(
+            (tile.reshape(-1), rank_val.reshape(-1)), num_keys=2
         )
+        starts = jnp.searchsorted(
+            tile_sorted, jnp.arange(n_tiles + 1, dtype=I32))
+        counts_small = (starts[1:] - starts[:-1]).astype(I32)
+        j = jnp.arange(K, dtype=I32)[None, :]
+        pos = jnp.minimum(starts[:-1][:, None] + j, T * small_span - 1)
+        rank_g = rank_sorted[pos]
 
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=I32))
-    counts_small = (starts[1:] - starts[:-1]).astype(I32)      # [n_tiles]
-
-    j = jnp.arange(K, dtype=I32)[None, :]                      # [1, K]
-    pos = jnp.minimum(starts[:-1][:, None] + j, T * small_span - 1)
-    small_ids = jnp.where(j < counts_small[:, None], tri_sorted[pos], -1)  # [n_tiles,K]
+    ids_g = perm[jnp.clip(rank_g, 0, T - 1)] if with_ybounds else rank_g
+    small_ids = jnp.where(j < counts_small[:, None], ids_g, -1)  # [n_tiles, K]
 
     # --- broad path: few triangles, processed by every tile ---
     broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
@@ -162,20 +181,17 @@ def bin_triangles(
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     safe = jnp.maximum(merged, 0)
     gathered = table[safe]                                     # [n_tiles, K, 16+P(+2)]
-    gathered = jnp.where((merged >= 0)[..., None], gathered, 0.0)
+    # Padding slots keep row-0 GARBAGE in coef/payload (zero-filling them costs
+    # a full [tiles*K, C] select); only the id channel marks them (-1). The
+    # kernels mask by id / slot<count (see docstring note).
     id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
     setup = jnp.concatenate(
         [gathered[..., :16], id_bits, gathered[..., 16:]], axis=-1
     )  # [n_tiles, K, C] with C = 17 + P (+2 ybounds last)
     C = setup.shape[-1]
 
-    setup_t = (
-        jnp.transpose(setup, (0, 2, 1)).reshape(n_ty, n_tx, C, K)
-        if with_transposed else None
-    )
     return Bins(
         setup=setup.reshape(n_ty, n_tx, K, C),
         counts=counts.reshape(n_ty, n_tx),
         overflow=(small_overflow + broad_dropped).astype(I32),
-        setup_t=setup_t,
     )

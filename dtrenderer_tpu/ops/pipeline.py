@@ -215,6 +215,7 @@ def draw_mesh(
     fw = frame_width if frame_width is not None else w
     if light is None:
         light = make_light()
+    textured = texture is not None
     if texture is None:
         texture = jnp.ones((1, 1, 4), F32)
     if normal_mat is None:
@@ -243,29 +244,36 @@ def draw_mesh(
     if backend == "fused":
         # Single fused Pallas kernel: visibility + interpolation + texture +
         # lighting per tile (ops/render_fused.py); only blend/depth-merge stay
-        # in XLA. Fastest path; formulas identical to the deferred path.
+        # in XLA. Fastest path; formulas identical to the deferred path. The
+        # payload layout is the minimal bit-exact channel set for this draw
+        # (render_fused.plan_layout): untextured draws ship no uv/texmeta,
+        # white phong draws no rgba, non-phong no normals.
         from dtrenderer_tpu.ops.render_fused import (
-            PAYLOAD_CHANNELS, make_texture_lut, pack_flags, render_fused,
+            dummy_texture_lut, make_texture_lut, pack_flags, pack_payload,
+            plan_layout, render_fused,
         )
 
-        T = setup.coef.shape[0]
-        tex_lut, meta = make_texture_lut([texture])
-        base, tw_, th_ = meta[0]
-        flags = pack_flags(shading == SHADING_PHONG,
-                           sampling_mode == "bilinear")
-        texmeta = jnp.broadcast_to(
-            jnp.asarray([base, tw_, th_, flags], F32), (T, 4)
-        )
-        payload = jnp.concatenate(
-            [texmeta, attrs10.reshape(T, 30)], axis=1
-        )
-        assert payload.shape[1] == PAYLOAD_CHANNELS
+        if textured:
+            tex_lut, meta = make_texture_lut([texture])
+        else:
+            tex_lut, meta = dummy_texture_lut(), [(0, 1, 1)]
+        is_phong = shading == SHADING_PHONG
+        feats = [dict(
+            textured=textured, phong=is_phong,
+            corner_rgba_is_q=(_host_white(color)
+                              and shading in (SHADING_PHONG, SHADING_NONE)),
+            meta=meta[0],
+        )]
+        layout = plan_layout(feats, mixed_sampling=False)
+        flags = pack_flags(is_phong, sampling_mode == "bilinear")
+        payload = pack_payload(attrs10, layout, meta[0], flags)
         z, src, overflow = render_fused(
             setup.coef, setup.bbox, setup.valid, payload, tex_lut,
             light.direction, light.ambient, h, w,
             y_offset=y_offset, x_offset=x_offset,
-            bilinear=(sampling_mode == "bilinear"),
-            with_phong=(shading == SHADING_PHONG),
+            bilinear=(sampling_mode == "bilinear") and layout.has_uv,
+            with_phong=is_phong,
+            layout=layout,
             **(raster_opts or {}),
         )
         win = z < fb.depth
@@ -279,7 +287,7 @@ def draw_mesh(
         from dtrenderer_tpu.debug import FrameCounters
 
         return out, FrameCounters(
-            tris_submitted=jnp.int32(T),
+            tris_submitted=jnp.int32(setup.coef.shape[0]),
             tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
             pixels_shaded=jnp.sum(win.astype(jnp.int32)),
             bin_overflow=overflow,
@@ -413,6 +421,19 @@ def draw_mesh_ordered(
     return Framebuffer(color=new_color, depth=new_depth)
 
 
+def _host_white(color) -> bool:
+    """True when `color` is host-known to be exactly (1, 1, 1, 1) — the
+    precondition for dropping rgba payload channels (render_fused.plan_layout:
+    rgba*q == q bit-exactly). Traced colors conservatively return False."""
+    try:
+        import numpy as np
+
+        c = np.asarray(color, dtype=np.float32).reshape(-1)
+        return c.shape[0] == 4 and bool(np.all(c == 1.0))
+    except Exception:
+        return False
+
+
 def is_translucent_draw(d: "DrawSpec") -> bool:
     """Host-side translucency detection for DrawSpecs.
 
@@ -529,8 +550,8 @@ def draw_meshes(
     `sampling_mode`; mixing nearest + bilinear draws stays one kernel call).
     """
     from dtrenderer_tpu.ops.render_fused import (
-        PAYLOAD_CHANNELS, SAMPLE_MIXED, make_texture_lut, pack_flags,
-        render_fused,
+        SAMPLE_MIXED, dummy_texture_lut, make_texture_lut, pack_flags,
+        pack_payload, plan_layout, render_fused,
     )
 
     if light is None:
@@ -620,7 +641,11 @@ def draw_meshes(
                 out = res
         return (out, counters) if return_counters else out
 
-    tex_lut, meta = make_texture_lut(textures)
+    any_textured = any(d.texture is not None for d in draws)
+    if any_textured:
+        tex_lut, meta = make_texture_lut(textures)
+    else:
+        tex_lut, meta = dummy_texture_lut(), [(0, 1, 1)] * len(draws)
     if all(s == "nearest" for s in draw_sampling):
         scene_sampling: bool | int = False
     elif all(s == "bilinear" for s in draw_sampling):
@@ -628,9 +653,19 @@ def draw_meshes(
     else:
         scene_sampling = SAMPLE_MIXED  # per-triangle flag bit decides
 
+    # Minimal bit-exact payload layout for the whole batch (plan_layout).
+    feats = [dict(
+        textured=d.texture is not None,
+        phong=d.shading == SHADING_PHONG,
+        corner_rgba_is_q=(_host_white(d.color)
+                          and d.shading in (SHADING_PHONG, SHADING_NONE)),
+        meta=m,
+    ) for d, m in zip(draws, meta)]
+    layout = plan_layout(feats, mixed_sampling=scene_sampling == SAMPLE_MIXED)
+    any_phong = any(f["phong"] for f in feats)
+
     coefs, bboxes, valids, payloads = [], [], [], []
-    any_phong = False
-    for d, smp, (base, tw_, th_) in zip(draws, draw_sampling, meta):
+    for d, smp, m in zip(draws, draw_sampling, meta):
         model = d.model
         normal_mat = d.normal_mat if d.normal_mat is not None else model
         mvp = mat4mul(view_proj, model)
@@ -638,15 +673,8 @@ def draw_meshes(
             d.mesh, model, view_proj, mvp, normal_mat, light, d.color,
             d.shading, fw, fh, cull_backfaces, near_clip,
         )
-        T = setup.coef.shape[0]
         flags = pack_flags(d.shading == SHADING_PHONG, smp == "bilinear")
-        any_phong = any_phong or d.shading == SHADING_PHONG
-        texmeta = jnp.broadcast_to(
-            jnp.asarray([base, tw_, th_, flags], F32), (T, 4)
-        )
-        payloads.append(
-            jnp.concatenate([texmeta, attrs10.reshape(T, 30)], axis=1)
-        )
+        payloads.append(pack_payload(attrs10, layout, m, flags))
         coefs.append(setup.coef)
         bboxes.append(setup.bbox)
         valids.append(setup.valid)
@@ -655,14 +683,14 @@ def draw_meshes(
     bbox = jnp.concatenate(bboxes, axis=0)
     valid = jnp.concatenate(valids, axis=0)
     payload = jnp.concatenate(payloads, axis=0)
-    assert payload.shape[1] == PAYLOAD_CHANNELS
 
     z, src, overflow = render_fused(
         coef, bbox, valid, payload, tex_lut,
         light.direction, light.ambient, h, w,
         y_offset=y_offset, x_offset=x_offset,
-        bilinear=scene_sampling,
+        bilinear=scene_sampling if layout.has_uv else False,
         with_phong=any_phong,
+        layout=layout,
         **(raster_opts or {}),
     )
     win = z < fb.depth

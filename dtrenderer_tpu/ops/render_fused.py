@@ -21,18 +21,24 @@ Blending + depth-merge against the existing framebuffer stay in XLA (pure
 elementwise, fused for free). All formulas/op order mirror FORMULAS.md /
 ops/geometry.py exactly, so images match the scalar oracle and the jnp paths.
 
-Packed setup channel layout (C = 53;
-binning packs [16 coef][id][payload 34][ybounds 2]):
-  0..15 coef  16 id
-  payload (also shipped channel-major as payload_t [34, K]):
+Packed setup channel layout (C = 17 + n_payload [+ 2 ybounds when tile_h > 8];
+binning packs [16 coef][id][payload][ybounds?]):
+  0..15 coef  16 id (bitcast i32; -1 marks padding slots)
+  payload (also shipped channel-major as payload_t [n_payload, K]): a STATIC
+    per-scene subset of {texmeta 3, flags 1, 3 x corner attrs} chosen by
+    plan_layout (PayloadLayout) — the FULL layout is
     0 tex_base 1 tw 2 th 3 flags (bit0 phong, bit1 bilinear — see pack_flags)
     4..13 corner0 (q, u*q, v*q, r*q, g*q, b*q, a*q, nx*q, ny*q, nz*q)
     14..23 corner1   24..33 corner2
+    and scenes drop channels they can reconstruct bit-exactly (untextured ->
+    no uv/texmeta; single texture -> texmeta as compile-time constants; white
+    phong color -> no rgba; uniform modes -> no flags; no phong -> no normals).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +52,76 @@ I32 = jnp.int32
 
 CHUNK = 8
 INT_MAX = jnp.iinfo(jnp.int32).max
-PAYLOAD_CHANNELS = 34
-# setup layout: [16 coef][1 id][34 payload][2 ybounds] (binning with_ybounds)
-N_CHANNELS = 17 + PAYLOAD_CHANNELS + 2
-Y0_CH = 17 + PAYLOAD_CHANNELS      # triangle's local bbox y0 (pixel row, f32)
-Y1_CH = Y0_CH + 1                  # and y1 (inclusive)
 
-# payload-relative channel indices. P_FLAGS packs per-triangle mode bits:
+
+class PayloadLayout(NamedTuple):
+    """STATIC per-scene payload channel plan (hashable; a jit static arg).
+
+    Phase 2's slot-gather cost is linear in payload channel count, so scenes
+    only ship the channels they actually use. Every elision below is BIT-EXACT
+    vs the full layout (FORMULAS.md formulas unchanged):
+      - has_texmeta=False: all triangles share one texture; (base, tw, th)
+        become compile-time constants (tex_const) instead of 3 channels.
+      - has_flags=False: uniform shading/sampling modes; the static kernel
+        args (sampling, with_phong) already encode them.
+      - has_uv=False: untextured scene. The 1x1 white default texture samples
+        to exactly 1.0 (nearest trivially; bilinear lerps of equal values are
+        exact), and 1.0 * x == x, so the fetch is skipped entirely.
+      - has_rgba=False: every draw's interpolated rgba is exactly qf (corner
+        channels were rgba*q with rgba == 1.0, and 1.0*q == q bit-exactly),
+        so rgba = qf * inv_qf without shipping 12 corner channels. Only valid
+        when NO draw bakes lighting into corner colors (phong/none shading)
+        and every color is exactly (1,1,1,1).
+      - has_normals=False: no phong draw (matches with_phong).
+    Corner channel order (per corner): q [, u*q, v*q] [, r*q, g*q, b*q, a*q]
+    [, nx*q, ny*q, nz*q]. Payload: [texmeta 3?][flags 1?][corner0..2].
+    """
+
+    has_texmeta: bool = True
+    has_flags: bool = True
+    has_uv: bool = True
+    has_rgba: bool = True
+    has_normals: bool = True
+    tex_const: tuple[int, int, int] | None = None  # (base, tw, th) static
+
+    @property
+    def corner_stride(self) -> int:
+        return (1 + 2 * self.has_uv + 4 * self.has_rgba
+                + 3 * self.has_normals)
+
+    @property
+    def n_payload(self) -> int:
+        return 3 * self.has_texmeta + self.has_flags + 3 * self.corner_stride
+
+    @property
+    def c0(self) -> int:  # corner0 base channel
+        return 3 * self.has_texmeta + self.has_flags
+
+    @property
+    def flags_ch(self) -> int:
+        assert self.has_flags
+        return 3 * self.has_texmeta
+
+    # corner-relative attr offsets (None = channel not shipped)
+    @property
+    def off_uv(self):
+        return 1 if self.has_uv else None
+
+    @property
+    def off_rgba(self):
+        return (1 + 2 * self.has_uv) if self.has_rgba else None
+
+    @property
+    def off_n(self):
+        return (1 + 2 * self.has_uv + 4 * self.has_rgba
+                if self.has_normals else None)
+
+
+FULL_LAYOUT = PayloadLayout()
+PAYLOAD_CHANNELS = FULL_LAYOUT.n_payload  # 34: the maximal layout
+
+# payload-relative channel indices OF THE FULL LAYOUT (kept for callers that
+# pack the full layout directly). P_FLAGS packs per-triangle mode bits:
 # bit 0 = phong shading, bit 1 = bilinear sampling (per-DRAW modes ride the
 # payload so one batched kernel call can mix modes across draws).
 P_TEXBASE, P_TW, P_TH, P_FLAGS = 0, 1, 2, 3
@@ -73,6 +142,70 @@ def pack_flags(is_phong: bool, is_bilinear: bool) -> float:
     return float(int(is_phong) + 2 * int(is_bilinear))
 
 
+def plan_layout(draw_feats, mixed_sampling: bool) -> PayloadLayout:
+    """Choose the minimal bit-exact PayloadLayout for a batched scene.
+
+    draw_feats: per draw, a dict with
+      textured: bool (the draw passed a real texture),
+      phong: bool (per-pixel phong shading),
+      corner_rgba_is_q: bool (corner rgba*q channels are EXACTLY q: color is
+        exactly (1,1,1,1) and the shading mode does not bake lighting into the
+        corner colors — phong/none; flat/gouraud always bake),
+      meta: (base, tw, th) texture placement from make_texture_lut.
+    mixed_sampling: scene uses per-triangle nearest/bilinear selection.
+    """
+    has_uv = any(f["textured"] for f in draw_feats)
+    any_phong = any(f["phong"] for f in draw_feats)
+    all_phong = all(f["phong"] for f in draw_feats)
+    has_rgba = not all(f["corner_rgba_is_q"] for f in draw_feats)
+    has_flags = (mixed_sampling and has_uv) or (any_phong and not all_phong)
+    tex_const = None
+    has_texmeta = False
+    if has_uv:
+        metas = {tuple(int(x) for x in f["meta"]) for f in draw_feats}
+        if len(metas) == 1:
+            tex_const = next(iter(metas))
+        else:
+            has_texmeta = True
+    return PayloadLayout(
+        has_texmeta=has_texmeta, has_flags=has_flags, has_uv=has_uv,
+        has_rgba=has_rgba, has_normals=any_phong, tex_const=tex_const,
+    )
+
+
+def pack_payload(attrs10, layout: PayloadLayout, meta, flags_value: float):
+    """Pack one draw's per-triangle payload [T, layout.n_payload] from the
+    q-premultiplied corner attrs [T, 3, 10] (pipeline layout: q, u*q, v*q,
+    rgba*q x4, n*q x3), the draw's texture placement meta (base, tw, th), and
+    its pack_flags value."""
+    T = attrs10.shape[0]
+    segs = [attrs10[:, :, 0:1]]
+    if layout.has_uv:
+        segs.append(attrs10[:, :, 1:3])
+    if layout.has_rgba:
+        segs.append(attrs10[:, :, 3:7])
+    if layout.has_normals:
+        segs.append(attrs10[:, :, 7:10])
+    corner = jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
+    corner = corner.reshape(T, 3 * layout.corner_stride)
+    parts = []
+    if layout.has_texmeta:
+        base, tw_, th_ = meta
+        parts.append(jnp.broadcast_to(
+            jnp.asarray([base, tw_, th_], F32), (T, 3)))
+    if layout.has_flags:
+        parts.append(jnp.full((T, 1), F32(flags_value)))
+    parts.append(corner)
+    out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    assert out.shape[1] == layout.n_payload
+    return out
+
+
+# 128-lane all-zero dummy LUT for untextured scenes (the kernel never reads it).
+def dummy_texture_lut():
+    return jnp.zeros((4, 128), F32)
+
+
 def _gather128(seg, idx):
     """seg [8,128] f32, idx [8,128] i32 in [0,128) -> seg[r, idx[r, l]]."""
     return jnp.take_along_axis(seg, idx, axis=1)
@@ -80,13 +213,25 @@ def _gather128(seg, idx):
 
 def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  sampling: int, with_phong: bool, chunk: int = CHUNK,
-                 skip_shading: bool = False, cols: int = 1):
+                 skip_shading: bool = False, cols: int = 1,
+                 layout: PayloadLayout = FULL_LAYOUT,
+                 use_ybounds: bool = True):
     n_pix = tile_h * tile_w
     assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
 
     n_slabs = tile_h // 8
     slab_pix = 8 * tile_w
     assert tile_h % 8 == 0, "tile_h must be a multiple of 8 (VPU sublanes)"
+
+    n_payload = layout.n_payload
+    y0_ch = 17 + n_payload  # only present when use_ybounds
+    y1_ch = y0_ch + 1
+    assert not with_phong or layout.has_normals, (
+        "phong shading needs normal channels in the payload")
+    if sampling != SAMPLE_NEAREST:
+        assert layout.has_uv, "bilinear/mixed sampling needs uv channels"
+    if sampling == SAMPLE_MIXED:
+        assert layout.has_flags, "mixed sampling rides the flags channel"
 
     def kernel(counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
                tex_ref, z_ref, src_ref):
@@ -115,13 +260,21 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     def _tile_body(gcol, n, ty_base, y0, x0, scal_ref, setup_ref,
                    payload_t_ref, tex_ref, z_ref, src_ref):
         # --------------------- phase 1: visibility (slab loop) ---------------
-        # The tile is processed in 8-row SLABS. Bins are y-sorted (binning
-        # with_ybounds) and each slot carries its bbox y0/y1, so a whole
+        # The tile is processed in 8-row SLABS. With use_ybounds, bins are
+        # y-sorted and each slot carries its bbox y0/y1, so a whole
         # (slab, chunk) pair skips via one scalar test when the chunk's y range
         # misses the slab — for small triangles (~tens of px) this culls the
         # bulk of phase 1's per-pixel edge work. Depth resolve is order-free,
         # so slab/bin ordering never changes the image (FORMULAS.md).
+        #
+        # The chunk loop carries PER-ROW bests [chunk, slab_pix] (row r only
+        # competes against its own carry) and resolves across rows ONCE per
+        # slab — the per-chunk (min z, min id) reduction trees were phase 1's
+        # single biggest cost. Tie-break key: triangle id when bins are
+        # y-sorted; bin SLOT when bins are tri-sorted (slot order == id order
+        # then, so min slot == min id and the id channel is never read).
         n_chunks = pl.cdiv(n, chunk)
+        tie_by_id = use_ybounds
 
         def make_slab(s_i):
             flat = jax.lax.broadcasted_iota(I32, (1, slab_pix), 1)
@@ -131,16 +284,23 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             py = (fy + y0).astype(F32) + F32(0.5)
             slab_lo = (ty_base + s_i * 8).astype(F32)
             slab_hi = (ty_base + s_i * 8 + 7).astype(F32)
+            iota_c = jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
 
             def chunk_body(c, carry):
                 k0 = pl.multiple_of(c * chunk, chunk)
-                yb = setup_ref[0, gcol, pl.ds(k0, chunk), Y0_CH:Y1_CH + 1]
-                cmin = jnp.min(yb[:, 0])
-                cmax = jnp.max(yb[:, 1])
-                overlap = (cmin <= slab_hi) & (cmax >= slab_lo)
+                if use_ybounds and n_slabs > 1:
+                    yb = setup_ref[0, gcol, pl.ds(k0, chunk), y0_ch:y1_ch + 1]
+                    cmin = jnp.min(yb[:, 0])
+                    cmax = jnp.max(yb[:, 1])
+                    overlap = (cmin <= slab_hi) & (cmax >= slab_lo)
+                else:
+                    overlap = None  # single-slab tile: binning already culled
 
                 def do(carry):
-                    best_z, best_id, best_slot, bb0, bb1, bb2 = carry
+                    if tie_by_id:
+                        bz, bid, bslot, bb0, bb1, bb2 = carry
+                    else:
+                        bz, bslot, bb0, bb1, bb2 = carry
                     s = setup_ref[0, gcol, pl.ds(k0, chunk), :]  # [chunk, C]
 
                     def col(i):
@@ -152,16 +312,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     inv_area2 = col(9)
                     z0, z1, z2 = col(10), col(11), col(12)
                     tl0, tl1, tl2 = col(13), col(14), col(15)
-                    ids = jax.lax.bitcast_convert_type(col(16), I32)
+                    slots = k0 + iota_c  # [chunk, 1]
+                    # padding slots (>= n) carry garbage coefs — mask by slot
+                    valid_row = slots < n
 
-                    # FORMULAS.md coverage + depth (same op order as geometry.py).
+                    # FORMULAS.md coverage + depth (same op order as
+                    # geometry.py).
                     E0 = (A0 * px + B0 * py) + C0
                     E1 = (A1 * px + B1 * py) + C1
                     E2 = (A2 * px + B2 * py) + C2
                     acc0 = (E0 > 0) | ((E0 == 0) & (tl0 > 0))
                     acc1 = (E1 > 0) | ((E1 == 0) & (tl1 > 0))
                     acc2 = (E2 > 0) | ((E2 == 0) & (tl2 > 0))
-                    inside = acc0 & acc1 & acc2 & (ids >= 0)
+                    inside = acc0 & acc1 & acc2 & valid_row
 
                     b0 = E0 * inv_area2
                     b1 = E1 * inv_area2
@@ -169,48 +332,74 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     z = (b0 * z0 + b1 * z1) + b2 * z2
 
                     zsel = jnp.where(inside, z, jnp.inf)
-                    zmin = jnp.min(zsel, axis=0, keepdims=True)
-                    hit = inside & (zsel == zmin)
-                    idsel = jnp.where(hit, ids, INT_MAX)
-                    idmin = jnp.min(idsel, axis=0, keepdims=True)
-                    win = hit & (ids == idmin)  # exactly the winner row
-                    slots = k0 + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
-                    slotmin = jnp.min(jnp.where(win, slots, INT_MAX), axis=0,
-                                      keepdims=True)
-                    # The winner's barycentrics (phase 2 reuses them verbatim).
-                    wb0 = jnp.min(jnp.where(win, b0, jnp.inf), axis=0,
-                                  keepdims=True)
-                    wb1 = jnp.min(jnp.where(win, b1, jnp.inf), axis=0,
-                                  keepdims=True)
-                    wb2 = jnp.min(jnp.where(win, b2, jnp.inf), axis=0,
-                                  keepdims=True)
+                    if tie_by_id:
+                        ids = jax.lax.bitcast_convert_type(col(16), I32)
+                        # z tie between two REAL fragments -> smaller id wins
+                        # (ids are unique within a tile; the inf==inf case can
+                        # only swap in garbage that `covered` masks later).
+                        take = (zsel < bz) | ((zsel == bz) & (ids < bid))
+                        new = (
+                            jnp.where(take, zsel, bz),
+                            jnp.where(take, jnp.broadcast_to(
+                                ids, bid.shape), bid),
+                            jnp.where(take, jnp.broadcast_to(
+                                slots, bslot.shape), bslot),
+                            jnp.where(take, b0, bb0),
+                            jnp.where(take, b1, bb1),
+                            jnp.where(take, b2, bb2),
+                        )
+                    else:
+                        # within a row, later chunks have strictly larger
+                        # slots: strict < keeps the earlier (smaller) slot on
+                        # a z tie, matching the min-id contract.
+                        take = zsel < bz
+                        new = (
+                            jnp.where(take, zsel, bz),
+                            jnp.where(take, jnp.broadcast_to(
+                                slots, bslot.shape), bslot),
+                            jnp.where(take, b0, bb0),
+                            jnp.where(take, b1, bb1),
+                            jnp.where(take, b2, bb2),
+                        )
+                    return new
 
-                    take = (zmin < best_z) | ((zmin == best_z) &
-                                              (idmin < best_id))
-                    return (
-                        jnp.where(take, zmin, best_z),
-                        jnp.where(take, idmin, best_id),
-                        jnp.where(take, slotmin, best_slot),
-                        jnp.where(take, wb0, bb0),
-                        jnp.where(take, wb1, bb1),
-                        jnp.where(take, wb2, bb2),
-                    )
-
+                if overlap is None:
+                    return do(carry)
                 return jax.lax.cond(overlap, do, lambda c_: c_, carry)
 
-            zero = jnp.zeros((1, slab_pix), F32)
-            init = (
-                jnp.full((1, slab_pix), jnp.inf, F32),
-                jnp.full((1, slab_pix), INT_MAX, I32),
-                jnp.full((1, slab_pix), 0, I32),
-                zero, zero, zero,
-            )
-            return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            zero = jnp.zeros((chunk, slab_pix), F32)
+            init_z = jnp.full((chunk, slab_pix), jnp.inf, F32)
+            init_slot = jnp.zeros((chunk, slab_pix), I32)
+            if tie_by_id:
+                init = (init_z, jnp.full((chunk, slab_pix), INT_MAX, I32),
+                        init_slot, zero, zero, zero)
+            else:
+                init = (init_z, init_slot, zero, zero, zero)
+            res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+            # Cross-row resolve, ONCE per slab: min z, tie-break by key.
+            if tie_by_id:
+                bz, bid, bslot, bb0, bb1, bb2 = res
+                key = bid
+            else:
+                bz, bslot, bb0, bb1, bb2 = res
+                key = bslot
+            zmin = jnp.min(bz, axis=0, keepdims=True)
+            hit = bz == zmin
+            kmin = jnp.min(jnp.where(hit, key, INT_MAX), axis=0,
+                           keepdims=True)
+            win = hit & (key == kmin)
+            slot_w = jnp.min(jnp.where(win, bslot, INT_MAX), axis=0,
+                             keepdims=True)
+            b0_w = jnp.min(jnp.where(win, bb0, jnp.inf), axis=0, keepdims=True)
+            b1_w = jnp.min(jnp.where(win, bb1, jnp.inf), axis=0, keepdims=True)
+            b2_w = jnp.min(jnp.where(win, bb2, jnp.inf), axis=0, keepdims=True)
+            return zmin, slot_w, b0_w, b1_w, b2_w
 
         slab_results = [make_slab(s_i) for s_i in range(n_slabs)]
-        best_z, _best_id, best_slot, bb0, bb1, bb2 = (
+        best_z, best_slot, bb0, bb1, bb2 = (
             jnp.concatenate([r[k] for r in slab_results], axis=1)
-            for k in range(6)
+            for k in range(5)
         )
         z_ref[0, gcol, 0:1, :] = best_z
 
@@ -274,140 +463,167 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             sel = (loc >= 0) & (loc < 128)
             loc = jnp.clip(loc, 0, 127)
             out = []
-            for p in range(PAYLOAD_CHANNELS):
+            for p in range(n_payload):
                 seg = jnp.broadcast_to(
                     payload_t_ref[0, gcol, p:p + 1, pl.ds(start, 128)], (8, 128)
                 )
                 out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
             return tuple(out)
 
-        vals = tuple(jnp.zeros((8, 128), F32) for _ in range(PAYLOAD_CHANNELS))
+        vals = tuple(jnp.zeros((8, 128), F32) for _ in range(n_payload))
         vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
 
+        c0 = layout.c0
+        stride = layout.corner_stride
+
         def interp(off):
-            a0 = vals[P_C0 + off]
-            a1 = vals[P_C0 + 10 + off]
-            a2 = vals[P_C0 + 20 + off]
+            a0 = vals[c0 + off]
+            a1 = vals[c0 + stride + off]
+            a2 = vals[c0 + 2 * stride + off]
             return (b0 * a0 + b1 * a1) + b2 * a2
 
         qf = interp(0)
         inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
-        u = interp(1) * inv_qf
-        v = interp(2) * inv_qf
-        r = interp(3) * inv_qf
-        g = interp(4) * inv_qf
-        bcol = interp(5) * inv_qf
-        a = interp(6) * inv_qf
-
-        # Texture sampling from the VMEM LUT (FORMULAS.md formulas).
-        tw = vals[P_TW]
-        th = vals[P_TH]
-        base = vals[P_TEXBASE]
-
-        def fetch(tidx):
-            """tidx [8,128] i32 absolute LUT index -> 4 channel values.
-
-            UVs are coherent within a batch: loop only the dynamic [min, max]
-            128-texel chunk range touched."""
-            tidx = jnp.clip(tidx, 0, tex_lanes - 1)  # NaN/garbage guard
-            tjmin = jnp.min(tidx) // 128
-            tjmax = jnp.max(tidx) // 128
-
-            def body(j, out):
-                start = pl.multiple_of(j * 128, 128)
-                loc = tidx - j * 128
-                sel = (loc >= 0) & (loc < 128)
-                loc = jnp.clip(loc, 0, 127)
-                res = []
-                for ch in range(4):
-                    seg = jnp.broadcast_to(
-                        tex_ref[ch:ch + 1, pl.ds(start, 128)], (8, 128)
-                    )
-                    res.append(jnp.where(sel, _gather128(seg, loc), out[ch]))
-                return tuple(res)
-
-            out = tuple(jnp.zeros((8, 128), F32) for _ in range(4))
-            return jax.lax.fori_loop(tjmin, tjmax + 1, body, out)
-
-        def texel_index(txf, tyf):
-            # Index arithmetic in int32: f32 loses integer precision at 2^24, so
-            # base + ty*tw + tx must not be combined as floats (make_texture_lut
-            # also guards the LUT size).
-            tx = jnp.clip(txf, 0, tw - 1).astype(I32)
-            ty = jnp.clip(tyf, 0, th - 1).astype(I32)
-            return base.astype(I32) + ty * tw.astype(I32) + tx
-
-        if sampling == SAMPLE_NEAREST:
-            txf = jnp.floor(u * tw)
-            tyf = jnp.floor((F32(1.0) - v) * th)
-            texel = fetch(texel_index(txf, tyf))
+        if layout.has_rgba:
+            o = layout.off_rgba
+            r = interp(o) * inv_qf
+            g = interp(o + 1) * inv_qf
+            bcol = interp(o + 2) * inv_qf
+            a = interp(o + 3) * inv_qf
         else:
-            fxs = u * tw - F32(0.5)
-            fys = (F32(1.0) - v) * th - F32(0.5)
-            x0f = jnp.floor(fxs)
-            y0f = jnp.floor(fys)
-            ax = fxs - x0f
-            ay = fys - y0f
-            taps = [
-                texel_index(x0f, y0f),
-                texel_index(x0f + 1, y0f),
-                texel_index(x0f, y0f + 1),
-                texel_index(x0f + 1, y0f + 1),
-            ]
-            if sampling == SAMPLE_MIXED:
-                # 5th tap: the nearest texel, fetched in the SAME union loop;
-                # per-pixel P_FLAGS bit 1 selects bilinear vs nearest below.
-                taps.append(texel_index(jnp.floor(u * tw),
-                                        jnp.floor((F32(1.0) - v) * th)))
-            taps = [jnp.clip(tp, 0, tex_lanes - 1) for tp in taps]
-            n_taps = len(taps)
-            # One loop over the UNION of all taps' chunk ranges: the taps are
-            # within one texel row of each other, so ranges nearly coincide.
-            tjmin = jnp.min(jnp.stack([jnp.min(tp) for tp in taps])) // 128
-            tjmax = jnp.max(jnp.stack([jnp.max(tp) for tp in taps])) // 128
+            # Every draw's corner rgba*q channels would be exactly q (color ==
+            # (1,1,1,1) and 1.0*q == q), so interp(rgba*q) == qf bit-exactly.
+            w1 = qf * inv_qf
+            r = g = bcol = a = w1
 
-            def body_taps(j, out):
-                start = pl.multiple_of(j * 128, 128)
-                segs = [tex_ref[ch:ch + 1, pl.ds(start, 128)] for ch in range(4)]
-                segs = [jnp.broadcast_to(s_, (8, 128)) for s_ in segs]
-                res = [list(o) for o in out]
-                for ti_, tp in enumerate(taps):
-                    loc = tp - j * 128
+        if layout.has_uv:
+            u = interp(layout.off_uv) * inv_qf
+            v = interp(layout.off_uv + 1) * inv_qf
+            # Texture sampling from the VMEM LUT (FORMULAS.md formulas).
+            if layout.tex_const is not None:
+                cbase, ctw, cth = layout.tex_const
+                base = jnp.full((8, 128), F32(cbase))
+                tw = jnp.full((8, 128), F32(ctw))
+                th = jnp.full((8, 128), F32(cth))
+            else:
+                tw = vals[P_TW]
+                th = vals[P_TH]
+                base = vals[P_TEXBASE]
+
+            def fetch(tidx):
+                """tidx [8,128] i32 absolute LUT index -> 4 channel values.
+
+                UVs are coherent within a batch: loop only the dynamic
+                [min, max] 128-texel chunk range touched."""
+                tidx = jnp.clip(tidx, 0, tex_lanes - 1)  # NaN/garbage guard
+                tjmin = jnp.min(tidx) // 128
+                tjmax = jnp.max(tidx) // 128
+
+                def body(j, out):
+                    start = pl.multiple_of(j * 128, 128)
+                    loc = tidx - j * 128
                     sel = (loc >= 0) & (loc < 128)
                     loc = jnp.clip(loc, 0, 127)
+                    res = []
                     for ch in range(4):
-                        res[ti_][ch] = jnp.where(
-                            sel, _gather128(segs[ch], loc), out[ti_][ch]
+                        seg = jnp.broadcast_to(
+                            tex_ref[ch:ch + 1, pl.ds(start, 128)], (8, 128)
                         )
-                return tuple(tuple(r) for r in res)
+                        res.append(
+                            jnp.where(sel, _gather128(seg, loc), out[ch]))
+                    return tuple(res)
 
-            zeros_taps = tuple(
-                tuple(jnp.zeros((8, 128), F32) for _ in range(4))
-                for _ in range(n_taps)
-            )
-            fetched = jax.lax.fori_loop(tjmin, tjmax + 1, body_taps, zeros_taps)
-            t00, t10, t01, t11 = fetched[:4]
+                out = tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+                return jax.lax.fori_loop(tjmin, tjmax + 1, body, out)
 
-            def lerp2(p, q2, t):
-                return p + (q2 - p) * t
+            def texel_index(txf, tyf):
+                # Index arithmetic in int32: f32 loses integer precision at
+                # 2^24, so base + ty*tw + tx must not be combined as floats
+                # (make_texture_lut also guards the LUT size).
+                tx = jnp.clip(txf, 0, tw - 1).astype(I32)
+                ty = jnp.clip(tyf, 0, th - 1).astype(I32)
+                return base.astype(I32) + ty * tw.astype(I32) + tx
 
-            texel = [
-                lerp2(lerp2(t00[c], t10[c], ax), lerp2(t01[c], t11[c], ax), ay)
-                for c in range(4)
-            ]
-            if sampling == SAMPLE_MIXED:
-                tn = fetched[4]
-                bil_px = vals[P_FLAGS] >= F32(2.0)
-                texel = [jnp.where(bil_px, texel[c], tn[c]) for c in range(4)]
+            if sampling == SAMPLE_NEAREST:
+                txf = jnp.floor(u * tw)
+                tyf = jnp.floor((F32(1.0) - v) * th)
+                texel = fetch(texel_index(txf, tyf))
+            else:
+                fxs = u * tw - F32(0.5)
+                fys = (F32(1.0) - v) * th - F32(0.5)
+                x0f = jnp.floor(fxs)
+                y0f = jnp.floor(fys)
+                ax = fxs - x0f
+                ay = fys - y0f
+                taps = [
+                    texel_index(x0f, y0f),
+                    texel_index(x0f + 1, y0f),
+                    texel_index(x0f, y0f + 1),
+                    texel_index(x0f + 1, y0f + 1),
+                ]
+                if sampling == SAMPLE_MIXED:
+                    # 5th tap: the nearest texel, fetched in the SAME union
+                    # loop; per-pixel flags bit 1 selects bilinear vs nearest.
+                    taps.append(texel_index(jnp.floor(u * tw),
+                                            jnp.floor((F32(1.0) - v) * th)))
+                taps = [jnp.clip(tp, 0, tex_lanes - 1) for tp in taps]
+                n_taps = len(taps)
+                # One loop over the UNION of all taps' chunk ranges: the taps
+                # are within one texel row of each other, so ranges nearly
+                # coincide.
+                tjmin = jnp.min(jnp.stack([jnp.min(tp) for tp in taps])) // 128
+                tjmax = jnp.max(jnp.stack([jnp.max(tp) for tp in taps])) // 128
 
-        src = [texel[0] * r, texel[1] * g, texel[2] * bcol, texel[3] * a]
+                def body_taps(j, out):
+                    start = pl.multiple_of(j * 128, 128)
+                    segs = [tex_ref[ch:ch + 1, pl.ds(start, 128)]
+                            for ch in range(4)]
+                    segs = [jnp.broadcast_to(s_, (8, 128)) for s_ in segs]
+                    res = [list(o) for o in out]
+                    for ti_, tp in enumerate(taps):
+                        loc = tp - j * 128
+                        sel = (loc >= 0) & (loc < 128)
+                        loc = jnp.clip(loc, 0, 127)
+                        for ch in range(4):
+                            res[ti_][ch] = jnp.where(
+                                sel, _gather128(segs[ch], loc), out[ti_][ch]
+                            )
+                    return tuple(tuple(r) for r in res)
+
+                zeros_taps = tuple(
+                    tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+                    for _ in range(n_taps)
+                )
+                fetched = jax.lax.fori_loop(tjmin, tjmax + 1, body_taps,
+                                            zeros_taps)
+                t00, t10, t01, t11 = fetched[:4]
+
+                def lerp2(p, q2, t):
+                    return p + (q2 - p) * t
+
+                texel = [
+                    lerp2(lerp2(t00[c], t10[c], ax),
+                          lerp2(t01[c], t11[c], ax), ay)
+                    for c in range(4)
+                ]
+                if sampling == SAMPLE_MIXED:
+                    tn = fetched[4]
+                    bil_px = vals[layout.flags_ch] >= F32(2.0)
+                    texel = [jnp.where(bil_px, texel[c], tn[c])
+                             for c in range(4)]
+
+            src = [texel[0] * r, texel[1] * g, texel[2] * bcol, texel[3] * a]
+        else:
+            # Untextured scene: texel == 1.0 exactly, and 1.0 * x == x.
+            src = [r, g, bcol, a]
 
         if with_phong:
             # FORMULAS.md lighting: true divide + sqrt (no reciprocal-multiply)
             # so values match shading.light_term / the oracle.
-            nx = interp(7) * inv_qf
-            ny = interp(8) * inv_qf
-            nz = interp(9) * inv_qf
+            on = layout.off_n
+            nx = interp(on) * inv_qf
+            ny = interp(on + 1) * inv_qf
+            nz = interp(on + 2) * inv_qf
             d = (nx * nx + ny * ny) + nz * nz
             nlen = jnp.sqrt(jnp.where(d > 0, d, F32(1.0)))
             nxh, nyh, nzh = nx / nlen, ny / nlen, nz / nlen
@@ -417,8 +633,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             ndl = (nxh * lxh + nyh * lyh) + nzh * lzh
             ndl = jnp.maximum(ndl, F32(0.0))
             term = ambient + (F32(1.0) - ambient) * ndl
-            is_phong_px = jnp.mod(vals[P_FLAGS], F32(2.0)) > 0  # flags bit 0
-            term = jnp.where(is_phong_px, term, F32(1.0))
+            if layout.has_flags:
+                # flags bit 0: phong per triangle (mixed-shading batch)
+                is_phong_px = jnp.mod(vals[layout.flags_ch], F32(2.0)) > 0
+                term = jnp.where(is_phong_px, term, F32(1.0))
             src = [src[0] * term, src[1] * term, src[2] * term, src[3]]
 
         for ch in range(4):
@@ -436,15 +654,20 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
-                     "skip_shading", "cols"),
+                     "skip_shading", "cols", "layout", "use_ybounds"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
                       sampling, with_phong, interpret, chunk=CHUNK,
-                      skip_shading=False, cols=1):
+                      skip_shading=False, cols=1,
+                      layout: PayloadLayout = FULL_LAYOUT,
+                      use_ybounds: bool = True):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
+    n_payload = layout.n_payload
+    n_channels = 17 + n_payload + (2 if use_ybounds else 0)
+    assert setup.shape[-1] == n_channels
 
     cols = max(1, min(cols, n_tx))
     pad_tx = (-n_tx) % cols
@@ -456,10 +679,11 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
     # Channel-major copy of the payload channels for phase 2's slot-gathers
     # (a cheap XLA transpose; phase 1 reads the row-major block). Excludes the
     # trailing ybounds channels (phase-1-only).
-    payload_t = jnp.transpose(setup[..., 17:17 + PAYLOAD_CHANNELS], (0, 1, 3, 2))
+    payload_t = jnp.transpose(setup[..., 17:17 + n_payload], (0, 1, 3, 2))
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
-                          with_phong, chunk, skip_shading, cols)
+                          with_phong, chunk, skip_shading, cols, layout,
+                          use_ybounds)
     z_flat, src_flat = pl.pallas_call(
         kernel,
         grid=(n_ty, n_txp // cols),
@@ -467,9 +691,9 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cols, capacity, N_CHANNELS),
+            pl.BlockSpec((1, cols, capacity, n_channels),
                          lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cols, PAYLOAD_CHANNELS, capacity),
+            pl.BlockSpec((1, cols, n_payload, capacity),
                          lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -584,11 +808,13 @@ def render_fused(
     skip_shading: bool = False,
     cols: int = 1,
     shard_budget: int | None = None,
+    layout: PayloadLayout = FULL_LAYOUT,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
 
-    payload: f32 [T, 34] per-triangle channels (see module docstring). tex_lut:
+    payload: f32 [T, layout.n_payload] per-triangle channels packed by
+    pack_payload for `layout` (see module docstring). tex_lut:
     [4, L_pad] planar texture LUT from make_texture_lut. The caller merges the
     result into a framebuffer: win = (z < fb.depth), color = where(win,
     blend_over(src, fb.color), fb.color). overflow counts (tile, tri) pairs
@@ -604,7 +830,12 @@ def render_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert capacity % 128 == 0, "capacity must be a multiple of 128"
-    assert payload.shape[1] == PAYLOAD_CHANNELS
+    assert payload.shape[1] == layout.n_payload, (
+        f"payload has {payload.shape[1]} channels, layout expects "
+        f"{layout.n_payload} ({layout})")
+    # Single-slab tiles need no slab culling: binning already y-culled, so the
+    # ybounds channels + the 3-key y-sort are pure overhead — skip them.
+    use_ybounds = tile_h > 8
     # bilinear: False/0 = nearest, True/1 = bilinear, SAMPLE_MIXED (2) = per-
     # triangle choice via the P_FLAGS payload bit 1.
     sampling = int(bilinear)
@@ -637,7 +868,7 @@ def render_fused(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
-        payload=payload, with_ybounds=True,
+        payload=payload, with_ybounds=use_ybounds,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(
@@ -647,6 +878,6 @@ def render_fused(
     z, src = _render_from_bins(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, sampling, with_phong,
-        interpret, chunk, skip_shading, cols,
+        interpret, chunk, skip_shading, cols, layout, use_ybounds,
     )
     return z, src, bins.overflow + compact_dropped

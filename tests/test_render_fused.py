@@ -97,3 +97,87 @@ def test_fused_alpha_blend_over_background():
     assert np.array_equal(
         np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
     )
+
+
+def test_payload_layout_planner():
+    """plan_layout picks the minimal bit-exact channel set per scene class."""
+    from dtrenderer_tpu.ops.render_fused import (
+        FULL_LAYOUT, PAYLOAD_CHANNELS, plan_layout,
+    )
+
+    # untextured gouraud soup: q + rgba only
+    lay = plan_layout([dict(textured=False, phong=False,
+                            corner_rgba_is_q=False, meta=(0, 1, 1))],
+                      mixed_sampling=False)
+    assert (not lay.has_uv and not lay.has_texmeta and not lay.has_flags
+            and lay.has_rgba and not lay.has_normals)
+    assert lay.n_payload == 3 * 5
+
+    # single shared texture, all-phong, white color: q + uv + normals,
+    # texmeta folded into compile-time constants
+    lay = plan_layout([dict(textured=True, phong=True,
+                            corner_rgba_is_q=True, meta=(0, 64, 64))] * 3,
+                      mixed_sampling=False)
+    assert lay.tex_const == (0, 64, 64) and not lay.has_texmeta
+    assert not lay.has_rgba and lay.has_normals and lay.has_uv
+    assert lay.n_payload == 3 * 6
+
+    # mixed textures + mixed shading: per-tri texmeta + flags
+    lay = plan_layout(
+        [dict(textured=True, phong=True, corner_rgba_is_q=False,
+              meta=(0, 16, 16)),
+         dict(textured=True, phong=False, corner_rgba_is_q=False,
+              meta=(256, 8, 8))],
+        mixed_sampling=True)
+    assert lay.has_texmeta and lay.has_flags and lay.tex_const is None
+    assert lay == FULL_LAYOUT
+    assert lay.n_payload == PAYLOAD_CHANNELS
+
+
+def test_fused_single_slab_tile_matches_ref():
+    """tile_h=8 (one slab) drops the ybounds channels + slab culling entirely
+    and ties-breaks by bin slot; the image must still match ref exactly."""
+    tex = primitives.checkerboard(16, 4)
+    a = _run(primitives.uv_sphere(10, 14), "ref", "gouraud", "bilinear", tex)
+    fb = fblib.clear(fblib.create(H, W), jnp.asarray([0.05, 0.02, 0.1, 1],
+                                                     jnp.float32))
+    b = draw_mesh(fb, primitives.uv_sphere(10, 14), MODEL, PROJ, texture=tex,
+                  light=LIGHT, shading="gouraud", sampling_mode="bilinear",
+                  backend="fused",
+                  raster_opts=dict(tile_h=8, capacity=128, small_span=8))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
+    )
+
+
+def test_binning_packed_key_matches_fallback():
+    """The packed single-key sort and the 2-key fallback must produce
+    identical bins (force the fallback by monkeypatching the threshold is
+    intrusive — instead compare against a brute-force NumPy binning)."""
+    from dtrenderer_tpu.ops.binning import bin_triangles
+
+    rng = np.random.default_rng(7)
+    T, h, w = 500, 64, 256
+    xs = rng.integers(0, w - 6, T).astype(np.int32)
+    ys = rng.integers(0, h - 6, T).astype(np.int32)
+    bbox = np.stack([xs, ys, xs + rng.integers(1, 6, T),
+                     ys + rng.integers(1, 6, T)], axis=1).astype(np.int32)
+    coef = rng.normal(size=(T, 16)).astype(np.float32)
+    valid = np.ones((T,), bool)
+
+    bins = bin_triangles(jnp.asarray(coef), jnp.asarray(bbox),
+                         jnp.asarray(valid), h, w, tile_h=8, tile_w=128,
+                         capacity=128, small_span=8)
+    counts = np.asarray(bins.counts)
+    ids = np.asarray(bins.setup)[..., 16].view(np.int32)
+    n_tx = w // 128
+    for ty in range(h // 8):
+        for tx in range(n_tx):
+            want = sorted(
+                t for t in range(T)
+                if bbox[t, 0] // 128 <= tx <= bbox[t, 2] // 128
+                and bbox[t, 1] // 8 <= ty <= bbox[t, 3] // 8
+            )
+            got = list(ids[ty, tx][:counts[ty, tx]])
+            assert got == want, (ty, tx)

@@ -1,0 +1,99 @@
+"""Second-stage micro-attribution: REAL soup binning decomposed on the TPU.
+
+Times prepare_draw alone, key-build+sort alone, and full bin_triangles at the
+soup-bench shape, so the unattributed cost in `bin-only` (profile_fused) gets
+pinned to an actual stage.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dtrenderer_tpu.utils.benchlib import device_time
+
+I32 = jnp.int32
+
+
+def main():
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops.binning import bin_triangles
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.render_fused import pack_payload, plan_layout
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+
+    h, w = 1080, 1920
+    soup = primitives.random_triangle_soup(200_000, rng_seed=11, extent=1.6)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    layout = plan_layout([dict(textured=False, phong=False,
+                               corner_rgba_is_q=False, meta=(0, 1, 1))],
+                         mixed_sampling=False)
+
+    def prep(t):
+        model = m3.mat4mul(mdl, m3.rotate_y(t - jnp.float32(0.5)))
+        mvp = m3.mat4mul(proj, model)
+        setup, attrs10 = prepare_draw(soup, model, proj, mvp, model, light,
+                                      (1.0, 1.0, 1.0, 1.0), "gouraud",
+                                      w, h, True, False)
+        return setup.coef, setup.bbox, setup.valid, attrs10
+
+    def prep_pack(t):
+        coef, bbox, valid, attrs10 = prep(t)
+        payload = pack_payload(attrs10, layout, (0, 1, 1), 0.0)
+        return coef, bbox, valid, payload
+
+    def full_bin(t, tile_h, with_yb):
+        coef, bbox, valid, payload = prep_pack(t)
+        bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
+                             tile_w=128, capacity=512, small_span=8,
+                             broad_cap=128, payload=payload,
+                             with_ybounds=with_yb)
+        return bins.setup, bins.counts
+
+    def keysort_only(t):
+        coef, bbox, valid, payload = prep_pack(t)
+        T = coef.shape[0]
+        n_tiles = ((h + 15) // 16) * (w // 128)
+        tx0 = bbox[:, 0] // 128
+        ty0 = bbox[:, 1] // 16
+        tx1 = bbox[:, 2] // 128
+        ty1 = bbox[:, 3] // 16
+        span_w = tx1 - tx0 + 1
+        n_cover = jnp.where(valid, span_w * (ty1 - ty0 + 1), 0)
+        small = valid & (n_cover > 0) & (n_cover <= 8)
+        s = jnp.arange(8, dtype=I32)[None, :]
+        sw = jnp.maximum(span_w, 1)[:, None]
+        tile = (ty0[:, None] + s // sw) * (w // 128) + (tx0[:, None] + s % sw)
+        in_span = small[:, None] & (s < n_cover[:, None])
+        tile = jnp.where(in_span, tile, n_tiles)
+        rank_b = jnp.broadcast_to(jnp.arange(T, dtype=I32)[:, None], tile.shape)
+        key = jnp.where(in_span, tile * (T + 1) + rank_b,
+                        I32(n_tiles * (T + 1)))
+        return jax.lax.sort(key.reshape(-1)), jnp.float32(0)
+
+    variants = [
+        ("prepare_draw only", lambda t: prep(t)),
+        ("prepare+pack", lambda t: prep_pack(t)),
+        ("prep+key+sort only", keysort_only),
+        ("full bin tile16 yb", lambda t: full_bin(t, 16, True)),
+        ("full bin tile16 noyb", lambda t: full_bin(t, 16, False)),
+        ("full bin tile8 noyb", lambda t: full_bin(t, 8, False)),
+    ]
+    for name, fn in variants:
+        try:
+            dt = device_time(fn, jnp.float32(0.5), iters=8)
+            print(f"{name:22s} {dt*1000:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:22s} FAILED {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,16 +58,64 @@ def main():
         ("phase1-only", make_frame({**base, "skip_shading": True})),
         ("nearest", make_frame(base, sampling="nearest")),
         ("gouraud+bilinear", make_frame(base, shading="gouraud")),
-        ("chunk16", make_frame({**base, "chunk": 16})),
-        ("cols2", make_frame({**base, "cols": 2})),
-        ("tile32", make_frame(dict(tile_h=32, tile_w=128, capacity=256))),
-        ("tile32-chunk16", make_frame(dict(tile_h=32, tile_w=128, capacity=256,
-                                           chunk=16))),
     ]
     for name, frame in variants:
         t0 = time.time()
         try:
             dt = device_time(frame, fb0.color, fb0.depth, t, iters=10)
+            print(f"{name:24s} {dt*1000:8.2f} ms  (wall {time.time()-t0:.0f}s)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:24s} FAILED {str(e)[:140]}", flush=True)
+
+    # ---- soup scene (triangle throughput) attribution ----
+    n_tris = 200_000
+    soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
+    mdl_s = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+
+    def make_soup(opts):
+        def frame(color, depth, tt):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+            rot_t = m3.rotate_y(tt - jnp.float32(0.5))
+            fb = draw_meshes(fb, proj,
+                             [DrawSpec(soup, m3.mat4mul(mdl_s, rot_t),
+                                       shading="gouraud")],
+                             sampling_mode="nearest", near_clip=False,
+                             raster_opts=opts)
+            return fb.color, fb.depth
+        return frame
+
+    def bin_only(color, depth, tt):
+        # vertex pipeline + binning cost alone (no kernel)
+        from dtrenderer_tpu.ops.binning import bin_triangles
+        from dtrenderer_tpu.ops.pipeline import prepare_draw
+        rot_t = m3.rotate_y(tt - jnp.float32(0.5))
+        model = m3.mat4mul(mdl_s, rot_t)
+        mvp = m3.mat4mul(proj, model)
+        setup, attrs10 = prepare_draw(soup, model, proj, mvp, model, light,
+                                      (1.0, 1.0, 1.0, 1.0), "gouraud",
+                                      w, h, True, False)
+        T = setup.coef.shape[0]
+        payload = jnp.concatenate(
+            [jnp.zeros((T, 4), jnp.float32), attrs10.reshape(T, 30)], axis=1)
+        bins = bin_triangles(setup.coef, setup.bbox, setup.valid, h, w,
+                             tile_h=16, tile_w=128, capacity=512, small_span=8,
+                             broad_cap=128, payload=payload, with_ybounds=True)
+        return bins.setup, color
+
+    soup_base = dict(tile_h=16, capacity=512, small_span=8)
+    svariants = [
+        ("soup full", make_soup(soup_base)),
+        ("soup phase1-only", make_soup({**soup_base, "skip_shading": True})),
+        ("soup bin-only", bin_only),
+        ("soup tile32cap512", make_soup(dict(tile_h=32, capacity=512,
+                                             small_span=8))),
+    ]
+    for name, frame in svariants:
+        t0 = time.time()
+        try:
+            dt = device_time(frame, fb0.color, fb0.depth, t, iters=8)
             print(f"{name:24s} {dt*1000:8.2f} ms  (wall {time.time()-t0:.0f}s)",
                   flush=True)
         except Exception as e:
