@@ -114,10 +114,13 @@ def bin_triangles(
     tri_ids = jnp.arange(T, dtype=I32)[:, None]
     packed_fits = (n_tiles + 1) * (T + 1) <= 2**31 - 1
     if with_ybounds:
+        iota_t = jnp.arange(T, dtype=I32)
         _, perm = jax.lax.sort(
-            (bbox[:, 1], jnp.arange(T, dtype=I32)), num_keys=2
+            (bbox[:, 1], iota_t), num_keys=2
         )  # perm[r] = id of the r-th triangle ordered by (y0, id)
-        rank = jnp.zeros((T,), I32).at[perm].set(jnp.arange(T, dtype=I32))
+        # inverse permutation WITHOUT a scatter (XLA TPU scatters are slow):
+        # sorting perm back to iota carries each rank to its id's position.
+        _, rank = jax.lax.sort((perm, iota_t), num_keys=1)
         rank_b = jnp.broadcast_to(rank[:, None], tile.shape)
     else:
         perm = None

@@ -809,6 +809,7 @@ def render_fused(
     cols: int = 1,
     shard_budget: int | None = None,
     layout: PayloadLayout = FULL_LAYOUT,
+    use_ybounds: bool | None = None,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -834,8 +835,12 @@ def render_fused(
         f"payload has {payload.shape[1]} channels, layout expects "
         f"{layout.n_payload} ({layout})")
     # Single-slab tiles need no slab culling: binning already y-culled, so the
-    # ybounds channels + the 3-key y-sort are pure overhead — skip them.
-    use_ybounds = tile_h > 8
+    # ybounds channels + the y-rank sort are pure overhead — skip them. For
+    # multi-slab tiles the default is on; scenes where binning dominates can
+    # pass use_ybounds=False to trade slab culling away for cheaper binning.
+    if use_ybounds is None:
+        use_ybounds = tile_h > 8
+    use_ybounds = use_ybounds and tile_h > 8
     # bilinear: False/0 = nearest, True/1 = bilinear, SAMPLE_MIXED (2) = per-
     # triangle choice via the P_FLAGS payload bit 1.
     sampling = int(bilinear)

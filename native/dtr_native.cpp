@@ -3,9 +3,11 @@
 // Native counterpart of the reference's C/C++ asset path (SURVEY.md §2 #5, #8:
 // hand-written Wavefront OBJ text parser and stb_image-based bitmap decoding).
 // Implemented from scratch: OBJ tokenizer/parser, BMP (24/32 uncompressed),
-// TGA (types 2/3/10, incl. RLE), and PNG (non-interlaced, 8-bit depth, all color
-// types, via system zlib inflate). Exposed through a plain C ABI consumed with
-// ctypes (assets/native.py) — no pybind dependency.
+// TGA (types 2/3/10, incl. RLE), PNG (non-interlaced, 8-bit depth, all color
+// types), and the DEFLATE/zlib inflate underneath it (RFC 1950/1951: stored +
+// fixed-Huffman + dynamic-Huffman blocks, adler32-verified — no zlib
+// dependency). Exposed through a plain C ABI consumed with ctypes
+// (assets/native.py) — no pybind dependency.
 //
 // Build: make -C native   ->  native/libdtr_native.so
 
@@ -16,8 +18,6 @@
 #include <cstring>
 #include <string>
 #include <vector>
-
-#include <zlib.h>
 
 extern "C" {
 
@@ -327,6 +327,235 @@ static void decode_tga(const uint8_t* d, int64_t n, DtrImage* im) {
   }
 }
 
+// ---- DEFLATE (RFC 1951) + zlib container (RFC 1950), from scratch ----
+namespace dtr_inflate {
+
+struct BitReader {
+  const uint8_t* d;
+  size_t n;
+  size_t byte = 0;
+  uint32_t buf = 0;
+  int cnt = 0;
+  bool fail = false;
+
+  void fill() {
+    while (cnt <= 24 && byte < n) {
+      buf |= (uint32_t)d[byte++] << cnt;
+      cnt += 8;
+    }
+  }
+  int bits(int k) {  // k <= 16, LSB-first per RFC 1951
+    fill();
+    if (cnt < k) { fail = true; return 0; }
+    int v = (int)(buf & ((1u << k) - 1));
+    buf >>= k;
+    cnt -= k;
+    return v;
+  }
+  void align_byte() {
+    int drop = cnt & 7;
+    buf >>= drop;
+    cnt -= drop;
+  }
+};
+
+// Canonical Huffman decoder over code-length arrays (count/symbol form).
+struct Huff {
+  uint16_t count[16];   // codes per bit length 0..15
+  uint16_t sym[288];    // symbols ordered by (length, symbol)
+  bool ok = false;
+};
+
+static void huff_build(Huff* h, const uint8_t* lens, int n) {
+  memset(h->count, 0, sizeof(h->count));
+  for (int i = 0; i < n; i++) h->count[lens[i]]++;
+  h->count[0] = 0;
+  // over-subscribed check (incomplete codes are tolerated, as in deflate)
+  int left = 1;
+  for (int len = 1; len <= 15; len++) {
+    left <<= 1;
+    left -= h->count[len];
+    if (left < 0) { h->ok = false; return; }
+  }
+  uint16_t offs[16];
+  offs[1] = 0;
+  for (int len = 1; len < 15; len++) offs[len + 1] = (uint16_t)(offs[len] + h->count[len]);
+  for (int i = 0; i < n; i++)
+    if (lens[i]) h->sym[offs[lens[i]]++] = (uint16_t)i;
+  h->ok = true;
+}
+
+static int huff_decode(BitReader& br, const Huff& h) {
+  int code = 0, first = 0, index = 0;
+  for (int len = 1; len <= 15; len++) {
+    code |= br.bits(1);
+    int cnt = h.count[len];
+    if (code - first < cnt) return h.sym[index + (code - first)];
+    index += cnt;
+    first = (first + cnt) << 1;
+    code <<= 1;
+  }
+  return -1;
+}
+
+static const uint16_t LEN_BASE[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
+                                      19, 23, 27, 31, 35, 43, 51, 59, 67, 83,
+                                      99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LEN_EXTRA[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                      2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint16_t DIST_BASE[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
+                                       65, 97, 129, 193, 257, 385, 513, 769,
+                                       1025, 1537, 2049, 3073, 4097, 6145,
+                                       8193, 12289, 16385, 24577};
+static const uint8_t DIST_EXTRA[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+                                       6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
+                                       12, 12, 13, 13};
+
+static bool inflate_block(BitReader& br, const Huff& lit, const Huff& dist,
+                          std::vector<uint8_t>& out, size_t outcap) {
+  for (;;) {
+    int sym = huff_decode(br, lit);
+    if (br.fail || sym < 0) return false;
+    if (sym < 256) {
+      if (out.size() >= outcap) return false;
+      out.push_back((uint8_t)sym);
+    } else if (sym == 256) {
+      return true;  // end of block
+    } else {
+      sym -= 257;
+      if (sym >= 29) return false;
+      int len = LEN_BASE[sym] + br.bits(LEN_EXTRA[sym]);
+      int dsym = huff_decode(br, dist);
+      if (br.fail || dsym < 0 || dsym >= 30) return false;
+      size_t d = (size_t)DIST_BASE[dsym] + (size_t)br.bits(DIST_EXTRA[dsym]);
+      if (br.fail || d > out.size()) return false;
+      if (out.size() + (size_t)len > outcap) return false;
+      size_t from = out.size() - d;
+      for (int i = 0; i < len; i++) out.push_back(out[from + i]);
+    }
+  }
+}
+
+static bool inflate_raw(BitReader& br, std::vector<uint8_t>& out, size_t outcap) {
+  Huff fixed_lit, fixed_dist;
+  {
+    uint8_t lens[288];
+    for (int i = 0; i < 144; i++) lens[i] = 8;
+    for (int i = 144; i < 256; i++) lens[i] = 9;
+    for (int i = 256; i < 280; i++) lens[i] = 7;
+    for (int i = 280; i < 288; i++) lens[i] = 8;
+    huff_build(&fixed_lit, lens, 288);
+    for (int i = 0; i < 30; i++) lens[i] = 5;
+    huff_build(&fixed_dist, lens, 30);
+  }
+
+  int final_block = 0;
+  do {
+    final_block = br.bits(1);
+    int btype = br.bits(2);
+    if (br.fail) return false;
+    if (btype == 0) {  // stored
+      br.align_byte();
+      int lo = br.bits(8), hi = br.bits(8);
+      int nlo = br.bits(8), nhi = br.bits(8);
+      if (br.fail) return false;
+      int len = lo | (hi << 8);
+      int nlen = nlo | (nhi << 8);
+      if ((len ^ 0xffff) != nlen) return false;
+      if (out.size() + (size_t)len > outcap) return false;
+      for (int i = 0; i < len; i++) {
+        int v = br.bits(8);
+        if (br.fail) return false;
+        out.push_back((uint8_t)v);
+      }
+    } else if (btype == 1) {  // fixed Huffman
+      if (!inflate_block(br, fixed_lit, fixed_dist, out, outcap)) return false;
+    } else if (btype == 2) {  // dynamic Huffman
+      static const uint8_t ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                        11, 4, 12, 3, 13, 2, 14, 1, 15};
+      int hlit = br.bits(5) + 257;
+      int hdist = br.bits(5) + 1;
+      int hclen = br.bits(4) + 4;
+      if (br.fail || hlit > 286 || hdist > 30) return false;
+      uint8_t cl_lens[19] = {0};
+      for (int i = 0; i < hclen; i++) cl_lens[ORDER[i]] = (uint8_t)br.bits(3);
+      Huff cl;
+      huff_build(&cl, cl_lens, 19);
+      if (!cl.ok) return false;
+      uint8_t lens[288 + 30] = {0};
+      int i = 0;
+      while (i < hlit + hdist) {
+        int s = huff_decode(br, cl);
+        if (br.fail || s < 0) return false;
+        if (s < 16) {
+          lens[i++] = (uint8_t)s;
+        } else if (s == 16) {
+          if (i == 0) return false;
+          int rep = 3 + br.bits(2);
+          uint8_t prev = lens[i - 1];
+          while (rep-- && i < hlit + hdist) lens[i++] = prev;
+        } else if (s == 17) {
+          int rep = 3 + br.bits(3);
+          while (rep-- && i < hlit + hdist) lens[i++] = 0;
+        } else {  // 18
+          int rep = 11 + br.bits(7);
+          while (rep-- && i < hlit + hdist) lens[i++] = 0;
+        }
+      }
+      Huff lit, dist;
+      huff_build(&lit, lens, hlit);
+      huff_build(&dist, lens + hlit, hdist);
+      if (!lit.ok || !dist.ok) return false;
+      if (!inflate_block(br, lit, dist, out, outcap)) return false;
+    } else {
+      return false;
+    }
+  } while (!final_block);
+  return true;
+}
+
+static uint32_t adler32(const uint8_t* d, size_t n) {
+  uint32_t a = 1, b = 0;
+  size_t i = 0;
+  while (i < n) {
+    size_t blk = n - i < 5552 ? n - i : 5552;  // max before mod is required
+    for (size_t j = 0; j < blk; j++) {
+      a += d[i + j];
+      b += a;
+    }
+    a %= 65521;
+    b %= 65521;
+    i += blk;
+  }
+  return (b << 16) | a;
+}
+
+// zlib container: 2-byte header, deflate stream, 4-byte adler32 (verified).
+// Returns true and fills `out` (exactly `expect` bytes) on success.
+static bool zlib_decompress(const uint8_t* d, size_t n,
+                            std::vector<uint8_t>& out, size_t expect) {
+  if (n < 6) return false;
+  uint8_t cmf = d[0], flg = d[1];
+  if ((cmf & 0x0f) != 8) return false;        // method must be deflate
+  if (((cmf << 8) | flg) % 31 != 0) return false;
+  if (flg & 0x20) return false;               // FDICT unsupported (PNG bans it)
+  BitReader br{d + 2, n - 2};
+  out.clear();
+  out.reserve(expect);
+  if (!inflate_raw(br, out, expect)) return false;
+  if (out.size() != expect) return false;
+  // adler32 trailer: big-endian, right after the deflate stream.
+  br.align_byte();
+  size_t used = br.byte - (size_t)(br.cnt / 8);  // bytes consumed of d+2
+  if (used + 4 > n - 2) return false;
+  const uint8_t* tr = d + 2 + used;
+  uint32_t want = ((uint32_t)tr[0] << 24) | ((uint32_t)tr[1] << 16) |
+                  ((uint32_t)tr[2] << 8) | tr[3];
+  return adler32(out.data(), out.size()) == want;
+}
+
+}  // namespace dtr_inflate
+
 // ---- PNG (non-interlaced, bit depth 8; gray/gray+a/rgb/rgba/palette) ----
 static uint32_t be32(const uint8_t* p) {
   return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) | ((uint32_t)p[2] << 8) |
@@ -397,10 +626,12 @@ static void decode_png(const uint8_t* d, int64_t n, DtrImage* im) {
   if ((uint64_t)w * h > (uint64_t)1 << 30) { img_err(im, "png: too large"); return; }
 
   size_t stride = (size_t)w * ch;
-  std::vector<uint8_t> raw((stride + 1) * h);
-  uLongf rawlen = (uLongf)raw.size();
-  int zr = uncompress(raw.data(), &rawlen, idat.data(), (uLong)idat.size());
-  if (zr != Z_OK || rawlen != raw.size()) { img_err(im, "png: inflate failed"); return; }
+  std::vector<uint8_t> raw;
+  if (!dtr_inflate::zlib_decompress(idat.data(), idat.size(), raw,
+                                    (stride + 1) * h)) {
+    img_err(im, "png: inflate failed");
+    return;
+  }
 
   // Unfilter in place into a contiguous pixel buffer.
   std::vector<uint8_t> pix(stride * h);

@@ -123,3 +123,51 @@ def test_load_bitmap_premultiplied(tmp_path, rng):
     assert tex.shape == (8, 8, 4) and tex.dtype == np.float32
     # premultiplied: rgb <= alpha (in linear space alpha unchanged)
     assert (tex[..., :3] <= tex[..., 3:4] + 1e-6).all()
+
+
+def _png_with_zlib_level(img, level):
+    """Hand-assemble a PNG whose IDAT uses a specific zlib compression level
+    (level 0 -> STORED deflate blocks), exercising every block type of the
+    from-scratch inflate (native/dtr_native.cpp dtr_inflate)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, level)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("level", [0, 1, 6, 9])
+def test_png_inflate_all_block_types(rng, level):
+    """STORED (level 0), fast fixed/dynamic (1), and max dynamic-Huffman
+    streams (9) all round-trip through the from-scratch inflate."""
+    img = _rand_rgba(rng, 45, 73)
+    # a patterned region compresses with matches; random region stresses
+    # literal-heavy codes
+    img[10:30, 10:50] = 77
+    got = native.decode_image_bytes(_png_with_zlib_level(img, level))
+    assert np.array_equal(got, img)
+
+
+def test_png_inflate_corrupt_stream_raises(rng):
+    img = _rand_rgba(rng, 12, 12)
+    data = bytearray(_png_with_zlib_level(img, 6))
+    data[-30] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(Exception):
+        native.decode_image_bytes(bytes(data))
+
+
+def test_png_inflate_large_multiblock(rng):
+    """> 64 KB of raw data forces multiple deflate blocks at level 0."""
+    img = _rand_rgba(rng, 150, 160)  # 96 KB raw -> >1 stored block
+    got = native.decode_image_bytes(_png_with_zlib_level(img, 0))
+    assert np.array_equal(got, img)

@@ -151,6 +151,25 @@ def test_fused_single_slab_tile_matches_ref():
     )
 
 
+def test_fused_multislab_no_ybounds_matches_ref():
+    """use_ybounds=False on a MULTI-slab tile (tile_h=32: 4 slabs, no slab
+    culling, tri-sorted bins with slot tie-break) must still match ref exactly
+    — this is the bench soup/fill configuration."""
+    tex = primitives.checkerboard(16, 4)
+    a = _run(primitives.uv_sphere(10, 14), "ref", "phong", "bilinear", tex)
+    fb = fblib.clear(fblib.create(H, W), jnp.asarray([0.05, 0.02, 0.1, 1],
+                                                     jnp.float32))
+    b = draw_mesh(fb, primitives.uv_sphere(10, 14), MODEL, PROJ, texture=tex,
+                  light=LIGHT, shading="phong", sampling_mode="bilinear",
+                  backend="fused",
+                  raster_opts=dict(tile_h=32, capacity=128, small_span=16,
+                                   use_ybounds=False))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
+    )
+
+
 def test_binning_packed_key_matches_fallback():
     """The packed single-key sort and the 2-key fallback must produce
     identical bins (force the fallback by monkeypatching the threshold is

@@ -53,11 +53,14 @@ def main():
         return frame
 
     base = dict(tile_h=64, tile_w=128, capacity=256)
+    noyb = {**base, "use_ybounds": False}
     variants = [
-        ("full (tuned r1)", make_frame(base)),
-        ("phase1-only", make_frame({**base, "skip_shading": True})),
-        ("nearest", make_frame(base, sampling="nearest")),
-        ("gouraud+bilinear", make_frame(base, shading="gouraud")),
+        ("tile64 (yb)", make_frame(base)),
+        ("tile64-noyb", make_frame(noyb)),
+        ("tile64-noyb-cols2", make_frame({**noyb, "cols": 2})),
+        ("tile32-noyb", make_frame(dict(tile_h=32, tile_w=128, capacity=256,
+                                        use_ybounds=False))),
+        ("noyb-phase1", make_frame({**noyb, "skip_shading": True})),
     ]
     for name, frame in variants:
         t0 = time.time()
@@ -101,16 +104,15 @@ def main():
             [jnp.zeros((T, 4), jnp.float32), attrs10.reshape(T, 30)], axis=1)
         bins = bin_triangles(setup.coef, setup.bbox, setup.valid, h, w,
                              tile_h=16, tile_w=128, capacity=512, small_span=8,
-                             broad_cap=128, payload=payload, with_ybounds=True)
+                             broad_cap=128, payload=payload,
+                             with_ybounds=False)
         return bins.setup, color
 
-    soup_base = dict(tile_h=16, capacity=512, small_span=8)
+    soup_base = dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False)
     svariants = [
         ("soup full", make_soup(soup_base)),
         ("soup phase1-only", make_soup({**soup_base, "skip_shading": True})),
         ("soup bin-only", bin_only),
-        ("soup tile32cap512", make_soup(dict(tile_h=32, capacity=512,
-                                             small_span=8))),
     ]
     for name, frame in svariants:
         t0 = time.time()
