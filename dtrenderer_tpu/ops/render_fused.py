@@ -21,8 +21,8 @@ Blending + depth-merge against the existing framebuffer stay in XLA (pure
 elementwise, fused for free). All formulas/op order mirror FORMULAS.md /
 ops/geometry.py exactly, so images match the scalar oracle and the jnp paths.
 
-Packed setup channel layout (C = 17 + n_payload [+ 2 ybounds when tile_h > 8];
-binning packs [16 coef][id][payload][ybounds?]):
+Packed setup channel layout (C = 17 + n_payload; binning packs
+[16 coef][id][payload]; per-slab cull ranges ride SMEM via Bins.slab_bounds):
   0..15 coef  16 id (bitcast i32; -1 marks padding slots)
   payload (also shipped channel-major as payload_t [n_payload, K]): a STATIC
     per-scene subset of {texmeta 3, flags 1, 3 x corner attrs} chosen by
@@ -224,8 +224,6 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     assert tile_h % 8 == 0, "tile_h must be a multiple of 8 (VPU sublanes)"
 
     n_payload = layout.n_payload
-    y0_ch = 17 + n_payload  # only present when use_ybounds
-    y1_ch = y0_ch + 1
     assert not with_phong or layout.has_normals, (
         "phong shading needs normal channels in the payload")
     if sampling != SAMPLE_NEAREST:
@@ -233,8 +231,14 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     if sampling == SAMPLE_MIXED:
         assert layout.has_flags, "mixed sampling rides the flags channel"
 
-    def kernel(counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
-               tex_ref, z_ref, src_ref):
+    def kernel(*refs):
+        if use_ybounds:
+            (sb_ref, counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
+             tex_ref, z_ref, src_ref) = refs
+        else:
+            (counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
+             tex_ref, z_ref, src_ref) = refs
+            sb_ref = None
         # One grid step processes `cols` adjacent tile columns (amortizes the
         # fixed per-step cost, which dominates for small tiles).
         ti = pl.program_id(0)
@@ -242,7 +246,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         for g in range(cols):
             tj = tjb * cols + g
             n = counts_ref[ti, tj]
-            ty_base = ti * tile_h  # tile's first LOCAL pixel row (ybounds space)
+            ty_base = ti * tile_h  # tile's first LOCAL pixel row
             y0 = ty_base + off_ref[0, 0]
             x0 = tj * tile_w + off_ref[0, 1]
 
@@ -253,19 +257,20 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 src_ref[0, g, :, :] = jnp.zeros((4, n_pix), F32)
 
             @pl.when(n > 0)
-            def _full(g=g, n=n, ty_base=ty_base, y0=y0, x0=x0):
-                _tile_body(g, n, ty_base, y0, x0, scal_ref, setup_ref,
-                           payload_t_ref, tex_ref, z_ref, src_ref)
+            def _full(g=g, n=n, ty_base=ty_base, y0=y0, x0=x0, ti=ti, tj=tj):
+                _tile_body(g, n, ty_base, y0, x0, ti, tj, sb_ref, scal_ref,
+                           setup_ref, payload_t_ref, tex_ref, z_ref, src_ref)
 
-    def _tile_body(gcol, n, ty_base, y0, x0, scal_ref, setup_ref,
-                   payload_t_ref, tex_ref, z_ref, src_ref):
+    def _tile_body(gcol, n, ty_base, y0, x0, ti, tj, sb_ref, scal_ref,
+                   setup_ref, payload_t_ref, tex_ref, z_ref, src_ref):
         # --------------------- phase 1: visibility (slab loop) ---------------
         # The tile is processed in 8-row SLABS. With use_ybounds, bins are
-        # y-sorted and each slot carries its bbox y0/y1, so a whole
-        # (slab, chunk) pair skips via one scalar test when the chunk's y range
-        # misses the slab — for small triangles (~tens of px) this culls the
-        # bulk of phase 1's per-pixel edge work. Depth resolve is order-free,
-        # so slab/bin ordering never changes the image (FORMULAS.md).
+        # y-sorted and binning precomputed a conservative contiguous slot range
+        # per slab (Bins.slab_bounds): the chunk loop walks ONLY that range —
+        # slab culling with zero per-chunk conds (a superset range is image-
+        # identical: the edge functions reject non-covering triangles). Depth
+        # resolve is order-free, so slab/bin ordering never changes the image
+        # (FORMULAS.md).
         #
         # The chunk loop carries PER-ROW bests [chunk, slab_pix] (row r only
         # competes against its own carry) and resolves across rows ONCE per
@@ -282,19 +287,20 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             fy = flat // tile_w + s_i * 8
             px = (fx + x0).astype(F32) + F32(0.5)  # [1, slab_pix]
             py = (fy + y0).astype(F32) + F32(0.5)
-            slab_lo = (ty_base + s_i * 8).astype(F32)
-            slab_hi = (ty_base + s_i * 8 + 7).astype(F32)
             iota_c = jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
+
+            if use_ybounds and n_slabs > 1:
+                sb_col = (tj * n_slabs + s_i) * 2
+                ks = sb_ref[ti, sb_col]
+                ke = jnp.minimum(sb_ref[ti, sb_col + 1], n)
+                c_lo = ks // chunk
+                c_hi = pl.cdiv(ke, chunk)
+            else:
+                c_lo = 0
+                c_hi = n_chunks
 
             def chunk_body(c, carry):
                 k0 = pl.multiple_of(c * chunk, chunk)
-                if use_ybounds and n_slabs > 1:
-                    yb = setup_ref[0, gcol, pl.ds(k0, chunk), y0_ch:y1_ch + 1]
-                    cmin = jnp.min(yb[:, 0])
-                    cmax = jnp.max(yb[:, 1])
-                    overlap = (cmin <= slab_hi) & (cmax >= slab_lo)
-                else:
-                    overlap = None  # single-slab tile: binning already culled
 
                 def do(carry):
                     if tie_by_id:
@@ -363,9 +369,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                         )
                     return new
 
-                if overlap is None:
-                    return do(carry)
-                return jax.lax.cond(overlap, do, lambda c_: c_, carry)
+                return do(carry)
 
             zero = jnp.zeros((chunk, slab_pix), F32)
             init_z = jnp.full((chunk, slab_pix), jnp.inf, F32)
@@ -375,7 +379,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                         init_slot, zero, zero, zero)
             else:
                 init = (init_z, init_slot, zero, zero, zero)
-            res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            res = jax.lax.fori_loop(c_lo, c_hi, chunk_body, init)
 
             # Cross-row resolve, ONCE per slab: min z, tie-break by key.
             if tie_by_id:
@@ -661,42 +665,52 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       sampling, with_phong, interpret, chunk=CHUNK,
                       skip_shading=False, cols=1,
                       layout: PayloadLayout = FULL_LAYOUT,
-                      use_ybounds: bool = True):
+                      use_ybounds: bool = True, slab_bounds=None):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
     n_payload = layout.n_payload
-    n_channels = 17 + n_payload + (2 if use_ybounds else 0)
+    n_channels = 17 + n_payload
     assert setup.shape[-1] == n_channels
+    assert (slab_bounds is not None) == bool(use_ybounds)
 
     cols = max(1, min(cols, n_tx))
     pad_tx = (-n_tx) % cols
     if pad_tx:
         counts = jnp.pad(counts, ((0, 0), (0, pad_tx)))
         setup = jnp.pad(setup, ((0, 0), (0, pad_tx), (0, 0), (0, 0)))
+        if slab_bounds is not None:
+            slab_bounds = jnp.pad(
+                slab_bounds, ((0, 0), (0, pad_tx), (0, 0), (0, 0)))
     n_txp = n_tx + pad_tx
 
     # Channel-major copy of the payload channels for phase 2's slot-gathers
-    # (a cheap XLA transpose; phase 1 reads the row-major block). Excludes the
-    # trailing ybounds channels (phase-1-only).
+    # (a cheap XLA transpose; phase 1 reads the row-major block).
     payload_t = jnp.transpose(setup[..., 17:17 + n_payload], (0, 1, 3, 2))
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
                           use_ybounds)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cols, capacity, n_channels),
+                     lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cols, n_payload, capacity),
+                     lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [counts, offsets, scalars, setup, payload_t, tex_lut]
+    if use_ybounds:
+        # slab ranges ride SMEM, flattened 2D: [n_ty, n_txp * n_slabs * 2]
+        sb2 = slab_bounds.reshape(n_ty, -1)
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(0, sb2)
     z_flat, src_flat = pl.pallas_call(
         kernel,
         grid=(n_ty, n_txp // cols),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cols, capacity, n_channels),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cols, n_payload, capacity),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, cols, 1, n_pix), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -708,7 +722,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
             jax.ShapeDtypeStruct((n_ty, n_txp, 4, n_pix), F32),
         ],
         interpret=interpret,
-    )(counts, offsets, scalars, setup, payload_t, tex_lut)
+    )(*inputs)
     if pad_tx:
         z_flat = z_flat[:, :n_tx]
         src_flat = src_flat[:, :n_tx]
@@ -835,9 +849,9 @@ def render_fused(
         f"payload has {payload.shape[1]} channels, layout expects "
         f"{layout.n_payload} ({layout})")
     # Single-slab tiles need no slab culling: binning already y-culled, so the
-    # ybounds channels + the y-rank sort are pure overhead — skip them. For
-    # multi-slab tiles the default is on; scenes where binning dominates can
-    # pass use_ybounds=False to trade slab culling away for cheaper binning.
+    # y-rank sort + slab-bounds compute are pure overhead — skip them. For
+    # multi-slab tiles the default is on (per-slab contiguous slot ranges,
+    # cond-free); use_ybounds=False trades the cull away for cheaper binning.
     if use_ybounds is None:
         use_ybounds = tile_h > 8
     use_ybounds = use_ybounds and tile_h > 8
@@ -873,7 +887,7 @@ def render_fused(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
-        payload=payload, with_ybounds=use_ybounds,
+        payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(
@@ -884,5 +898,6 @@ def render_fused(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, sampling, with_phong,
         interpret, chunk, skip_shading, cols, layout, use_ybounds,
+        bins.slab_bounds,
     )
     return z, src, bins.overflow + compact_dropped

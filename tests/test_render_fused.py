@@ -170,6 +170,48 @@ def test_fused_multislab_no_ybounds_matches_ref():
     )
 
 
+def test_binning_slab_bounds_conservative():
+    """Every slot whose triangle's y-range intersects an 8-row slab must fall
+    inside that slab's [start, end) range (missing one would drop geometry;
+    extras are harmless — the edge functions reject them)."""
+    from dtrenderer_tpu.ops.binning import bin_triangles
+
+    rng = np.random.default_rng(12)
+    T, h, w = 400, 128, 256
+    xs = rng.integers(0, w - 30, T).astype(np.int32)
+    ys = rng.integers(0, h - 30, T).astype(np.int32)
+    hs = rng.integers(1, 30, T).astype(np.int32)  # mixed tri heights
+    bbox = np.stack([xs, ys, xs + rng.integers(1, 20, T), ys + hs],
+                    axis=1).astype(np.int32)
+    coef = rng.normal(size=(T, 16)).astype(np.float32)
+    valid = np.ones((T,), bool)
+    tile_h, n_slabs = 32, 4
+
+    bins = bin_triangles(jnp.asarray(coef), jnp.asarray(bbox),
+                         jnp.asarray(valid), h, w, tile_h=tile_h, tile_w=128,
+                         capacity=256, small_span=8, n_slabs=n_slabs)
+    counts = np.asarray(bins.counts)
+    ids = np.asarray(bins.setup)[..., 16].view(np.int32)
+    sb = np.asarray(bins.slab_bounds)
+    assert sb.shape == (h // tile_h, w // 128, n_slabs, 2)
+    for ty in range(h // tile_h):
+        for tx in range(w // 128):
+            n = counts[ty, tx]
+            slots = ids[ty, tx][:n]
+            # y-sorted bins: y0 non-decreasing over the slots
+            y0s = bbox[slots, 1]
+            assert (np.diff(y0s) >= 0).all()
+            for s in range(n_slabs):
+                lo = ty * tile_h + s * 8
+                hi = lo + 7
+                st, en = sb[ty, tx, s]
+                assert 0 <= st <= en <= n
+                for k in range(n):
+                    tri = slots[k]
+                    if bbox[tri, 1] <= hi and bbox[tri, 3] >= lo:
+                        assert st <= k < en, (ty, tx, s, k)
+
+
 def test_binning_packed_key_matches_fallback():
     """The packed single-key sort and the 2-key fallback must produce
     identical bins (force the fallback by monkeypatching the threshold is

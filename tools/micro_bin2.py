@@ -55,7 +55,7 @@ def main():
         bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
                              tile_w=128, capacity=512, small_span=8,
                              broad_cap=128, payload=payload,
-                             with_ybounds=with_yb)
+                             n_slabs=(tile_h // 8 if with_yb else 1))
         return bins.setup, bins.counts
 
     def keysort_only(t):
@@ -79,13 +79,59 @@ def main():
                         I32(n_tiles * (T + 1)))
         return jax.lax.sort(key.reshape(-1)), jnp.float32(0)
 
+    def bin_to_stage(t, stage):
+        """Re-run bin_triangles' small path up to `stage` (noyb), to localize
+        the cost the isolated micro-benches cannot explain."""
+        coef, bbox, valid, payload = prep_pack(t)
+        T = coef.shape[0]
+        tile_w, tile_h, K, S = 128, 16, 512, 8
+        n_ty, n_tx = (h + tile_h - 1) // tile_h, w // tile_w
+        n_tiles = n_ty * n_tx
+        tx0 = bbox[:, 0] // tile_w
+        ty0 = bbox[:, 1] // tile_h
+        span_w = bbox[:, 2] // tile_w - tx0 + 1
+        span_h = bbox[:, 3] // tile_h - ty0 + 1
+        n_cover = jnp.where(valid, span_w * span_h, 0)
+        small = valid & (n_cover > 0) & (n_cover <= S)
+        s = jnp.arange(S, dtype=I32)[None, :]
+        sw = jnp.maximum(span_w, 1)[:, None]
+        tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
+        in_span = small[:, None] & (s < n_cover[:, None])
+        rank_b = jnp.broadcast_to(jnp.arange(T, dtype=I32)[:, None], tile.shape)
+        key = jnp.where(in_span, tile * (T + 1) + rank_b,
+                        I32(n_tiles * (T + 1)))
+        key_sorted = jax.lax.sort(key.reshape(-1))
+        if stage == "sort":
+            return key_sorted, jnp.float32(0)
+        bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
+        starts = jnp.searchsorted(key_sorted, bounds)
+        counts_small = (starts[1:] - starts[:-1]).astype(I32)
+        from dtrenderer_tpu.ops.binning import _extract_ranges
+        rank_g = _extract_ranges(key_sorted, starts[:-1], K) % (T + 1)
+        if stage == "extract":
+            return rank_g, counts_small
+        j = jnp.arange(K, dtype=I32)[None, :]
+        small_ids = jnp.where(j < counts_small[:, None], rank_g, -1)
+        safe = jnp.maximum(small_ids, 0)
+        table = jnp.concatenate([coef, payload], axis=1)
+        gathered = table[safe]
+        if stage == "gather":
+            return gathered, counts_small
+        id_bits = jax.lax.bitcast_convert_type(small_ids, jnp.float32)[..., None]
+        setup = jnp.concatenate(
+            [gathered[..., :16], id_bits, gathered[..., 16:]], axis=-1)
+        return setup, counts_small
+
     variants = [
         ("prepare_draw only", lambda t: prep(t)),
         ("prepare+pack", lambda t: prep_pack(t)),
         ("prep+key+sort only", keysort_only),
+        ("stage sort", lambda t: bin_to_stage(t, "sort")),
+        ("stage extract", lambda t: bin_to_stage(t, "extract")),
+        ("stage gather", lambda t: bin_to_stage(t, "gather")),
+        ("stage full-small", lambda t: bin_to_stage(t, "all")),
         ("full bin tile16 yb", lambda t: full_bin(t, 16, True)),
         ("full bin tile16 noyb", lambda t: full_bin(t, 16, False)),
-        ("full bin tile8 noyb", lambda t: full_bin(t, 8, False)),
     ]
     for name, fn in variants:
         try:

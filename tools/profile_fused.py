@@ -105,7 +105,7 @@ def main():
         bins = bin_triangles(setup.coef, setup.bbox, setup.valid, h, w,
                              tile_h=16, tile_w=128, capacity=512, small_span=8,
                              broad_cap=128, payload=payload,
-                             with_ybounds=False)
+                             n_slabs=1)
         return bins.setup, color
 
     soup_base = dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False)
