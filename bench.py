@@ -139,10 +139,11 @@ def run_soup_bench(h, w, on_tpu):
     soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
     proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
     mdl = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
-    # tuned via tools/tune_soup.py: tile16/cap512, NO ybounds — at 2 slabs the
-    # slab-cull buys less than the y-rank binning costs for 200k tiny tris.
+    # tuned via tools/tune_soup.py: tile16/cap512/cols2, NO slab culling — at
+    # 2 slabs the y-sort binning machinery costs more than the cull saves for
+    # 200k tiny tris; cols=2 amortizes per-grid-step overhead (cols 3/5 lose).
     raster_opts = dict(tile_h=16, capacity=512, small_span=8,
-                       use_ybounds=False)
+                       use_ybounds=False, cols=2)
 
     draws = [DrawSpec(soup, mdl, shading="gouraud")]
     overflow, maxcount, cap = audit_scene(proj, draws, h, w, near_clip=False,

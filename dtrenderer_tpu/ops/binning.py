@@ -176,8 +176,11 @@ def bin_triangles(
         j = jnp.arange(K, dtype=I32)[None, :]
         rank_g = _extract_ranges(rank_sorted, starts[:-1], K)
 
-    ids_g = perm[jnp.clip(rank_g, 0, T - 1)] if y_sorted else rank_g
-    small_ids = jnp.where(j < counts_small[:, None], ids_g, -1)  # [n_tiles, K]
+    # The per-tile lists stay in RANK space all the way to the final row
+    # gather: converting ranks to ids here would be another [n_tiles, K]
+    # gather from a [T] array (~10 ns/row); instead the setup TABLE is
+    # permuted once (a [T]-row gather) and carries the ids as a channel.
+    small_sel = jnp.where(j < counts_small[:, None], rank_g, -1)  # [n_tiles, K]
 
     # --- broad path: few triangles, processed by every tile ---
     broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
@@ -188,6 +191,11 @@ def bin_triangles(
     jb = jnp.arange(broad_cap, dtype=I32)
     broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)      # [broad_cap]
     broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - broad_cap, 0)
+    if y_sorted:  # ranks of the broad ids ([broad_cap]-row gather: negligible)
+        broad_sel = jnp.where(broad_ids >= 0,
+                              rank[jnp.maximum(broad_ids, 0)], -1)
+    else:
+        broad_sel = broad_ids
 
     # --- merge: per tile, smalls first then broads, contiguous ---
     n_broad = jnp.minimum(n_broad, K)
@@ -200,29 +208,34 @@ def bin_triangles(
     # [tiles, K] gather (a 522k-row gather from a 128-entry array pays the
     # same ~10 ns/row as any gather; the slice form is ~5x cheaper).
     padded_broads = jnp.concatenate(
-        [jnp.full((K,), -1, I32), broad_ids,
+        [jnp.full((K,), -1, I32), broad_sel,
          jnp.full((max(K - broad_cap, 0) + 1,), -1, I32)])
     bvals = _extract_ranges(padded_broads, K - cnt_s, K)
-    merged = jnp.where(take_small, small_ids[:, :K], bvals)
+    merged = jnp.where(take_small, small_sel[:, :K], bvals)
     counts = cnt_s + n_broad
 
     # --- pre-gather setup + id channel (+ payload): [n_tiles, K, C] ---
     # Row-gather cost on TPU is per ROW (flat in channel count), so the slab-
-    # bounds y0/y1 ride the SAME gather as 2 temporary channels and are
-    # stripped after the bounds are computed.
+    # bounds y0/y1 and (when y-sorted) the triangle-id channel ride the SAME
+    # gather as temporary channels and are stripped/moved afterwards.
     parts = [coef]
     if payload is not None:
         parts.append(payload)
     if y_sorted:
+        parts.append(jax.lax.bitcast_convert_type(
+            jnp.arange(T, dtype=I32), jnp.float32)[:, None])   # id channel
         parts.append(bbox[:, (1, 3)].astype(jnp.float32))  # local y0, y1 rows
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if y_sorted:
+        table = table[perm]  # rank-ordered rows: ONE [T]-row gather
     safe = jnp.maximum(merged, 0)
-    gathered = table[safe]                                     # [n_tiles, K, 16+P(+2)]
+    gathered = table[safe]                                # [n_tiles, K, 16+P(+3)]
 
     slab_bounds = None
     if y_sorted:
         yb = gathered[..., -2:]
-        gathered = gathered[..., :-2]
+        id_ch = gathered[..., -3]
+        gathered = gathered[..., :-3]
         jK = jnp.arange(K, dtype=I32)[None, :]
         valid_small = jK < cnt_s[:, None]                     # [n_tiles, K]
         y0_s = jnp.where(valid_small, yb[..., 0], jnp.inf)
@@ -247,7 +260,12 @@ def bin_triangles(
     # Padding slots keep row-0 GARBAGE in coef/payload (zero-filling them costs
     # a full [tiles*K, C] select); only the id channel marks them (-1). The
     # kernels mask by id / slot<count (see docstring note).
-    id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
+    if y_sorted:
+        neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+        id_bits = jnp.where(merged < 0, neg1, id_ch)[..., None]
+    else:
+        # tri-sorted bins: rank == id, so the merged sel IS the id
+        id_bits = jax.lax.bitcast_convert_type(merged, jnp.float32)[..., None]
     setup = jnp.concatenate(
         [gathered[..., :16], id_bits, gathered[..., 16:]], axis=-1
     )  # [n_tiles, K, C] with C = 17 + P

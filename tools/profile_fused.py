@@ -53,14 +53,12 @@ def main():
         return frame
 
     base = dict(tile_h=64, tile_w=128, capacity=256)
-    noyb = {**base, "use_ybounds": False}
     variants = [
-        ("tile64 (yb)", make_frame(base)),
-        ("tile64-noyb", make_frame(noyb)),
-        ("tile64-noyb-cols2", make_frame({**noyb, "cols": 2})),
-        ("tile32-noyb", make_frame(dict(tile_h=32, tile_w=128, capacity=256,
-                                        use_ybounds=False))),
-        ("noyb-phase1", make_frame({**noyb, "skip_shading": True})),
+        ("tile64 yb", make_frame(base)),
+        ("yb-phase1", make_frame({**base, "skip_shading": True})),
+        ("yb-nearest", make_frame(base, sampling="nearest")),
+        ("yb-chunk16", make_frame({**base, "chunk": 16})),
+        ("yb-gouraud", make_frame(base, shading="gouraud")),
     ]
     for name, frame in variants:
         t0 = time.time()

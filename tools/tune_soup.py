@@ -44,9 +44,11 @@ def main():
         return frame
 
     combos = [
-        dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False),
-        dict(tile_h=8, capacity=384, small_span=8),
-        dict(tile_h=8, capacity=512, small_span=8),
+        dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False,
+             cols=3),
+        dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False,
+             cols=5),
+        dict(tile_h=8, capacity=640, small_span=8, cols=3),  # 1-slab fine bins
     ]
     for opts in combos:
         tag = (f"t{opts['tile_h']}c{opts['capacity']}s{opts['small_span']}"
