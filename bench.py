@@ -57,7 +57,8 @@ def main():
     ]
 
     backend = "fused"
-    raster_opts = dict(tile_h=64, tile_w=128, capacity=256)
+    raster_opts = dict(tile_h=64, tile_w=128, capacity=256,
+                       batch_rows=32)  # 4096-px shading batches (tools/profile_fused.py)
 
     # Pre-flight: assert zero bin overflow (overflow = silent triangle drops).
     from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene
@@ -143,7 +144,7 @@ def run_soup_bench(h, w, on_tpu):
     # 2 slabs the y-sort binning machinery costs more than the cull saves for
     # 200k tiny tris; cols=2 amortizes per-grid-step overhead (cols 3/5 lose).
     raster_opts = dict(tile_h=16, capacity=512, small_span=8,
-                       use_ybounds=False, cols=2)
+                       use_ybounds=False, cols=2, batch_rows=16)
 
     draws = [DrawSpec(soup, mdl, shading="gouraud")]
     overflow, maxcount, cap = audit_scene(proj, draws, h, w, near_clip=False,

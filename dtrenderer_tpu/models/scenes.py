@@ -187,7 +187,9 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         opts = (dict(capacity=capacity, small_span=8)
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
-            opts["chunk"] = 16
+            # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
+            # machinery costs more than 4-slab culling saves), cols=2.
+            opts.update(chunk=16, use_ybounds=False, cols=2)
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,

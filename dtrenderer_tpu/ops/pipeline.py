@@ -270,7 +270,7 @@ def draw_mesh(
             raster_opts = {
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
-                             "use_ybounds")
+                             "use_ybounds", "batch_rows")
             }
 
     if mvp is None:
@@ -508,6 +508,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("cols", None)
     opts.pop("skip_shading", None)
     opts.pop("use_ybounds", None)  # capacity counts don't depend on bin order
+    opts.pop("batch_rows", None)
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
     # mirror render_fused's defaults (binning's own differ)
     opts.setdefault("tile_h", 32)

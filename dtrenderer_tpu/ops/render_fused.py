@@ -215,9 +215,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  sampling: int, with_phong: bool, chunk: int = CHUNK,
                  skip_shading: bool = False, cols: int = 1,
                  layout: PayloadLayout = FULL_LAYOUT,
-                 use_ybounds: bool = True):
+                 use_ybounds: bool = True, batch_rows: int = 8):
     n_pix = tile_h * tile_w
-    assert n_pix % 1024 == 0, "tile must hold a multiple of 1024 pixels"
+    batch_px = batch_rows * 128
+    assert n_pix % batch_px == 0, "tile must hold whole shading batches"
 
     n_slabs = tile_h // 8
     slab_pix = 8 * tile_w
@@ -412,21 +413,22 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             return
 
         # ------------------------- phase 2: shading ---------------------------
-        n_batches = n_pix // 1024
+        n_batches = n_pix // batch_px
         for pt in range(n_batches):
             # Skip fully-uncovered batches (background/sky) BEFORE any batch
-            # prep: one reduction over the contiguous [1,1024] depth slice.
+            # prep: one reduction over the contiguous depth slice.
             cov_any = jnp.any(
-                best_z[0:1, pt * 1024:(pt + 1) * 1024] != jnp.inf
+                best_z[0:1, pt * batch_px:(pt + 1) * batch_px] != jnp.inf
             )
 
             @pl.when(jnp.logical_not(cov_any))
             def _sky(pt=pt):
                 zrow = jnp.zeros((1, 128), F32)
                 for ch in range(4):
-                    for row in range(8):
+                    for row in range(batch_rows):
                         src_ref[0, gcol, ch:ch + 1,
-                                pl.ds((pt * 8 + row) * 128, 128)] = zrow
+                                pl.ds((pt * batch_rows + row) * 128,
+                                      128)] = zrow
 
             @pl.when(cov_any)
             def _shade(pt=pt):
@@ -435,13 +437,14 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
     def _shade_batch(gcol, pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
                      payload_t_ref, tex_ref, src_ref):
-        # Batch 8 contiguous 128-pixel groups onto the 8 sublanes by
-        # CONCATENATING [1,128] slices. Row r covers flat pixels
-        # [pt*1024 + r*128, ... + 128).
+        # Batch batch_rows contiguous 128-pixel groups onto sublanes by
+        # CONCATENATING [1,128] slices (Mosaic can't shape-cast lanes to
+        # sublanes). Row r covers flat pixels [pt*batch_px + r*128, ... + 128).
         def rows8(vec):
             return jnp.concatenate(
-                [vec[0:1, (pt * 8 + r) * 128:(pt * 8 + r + 1) * 128]
-                 for r in range(8)],
+                [vec[0:1, (pt * batch_rows + r) * 128:
+                     (pt * batch_rows + r + 1) * 128]
+                 for r in range(batch_rows)],
                 axis=0,
             )
 
@@ -469,12 +472,14 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             out = []
             for p in range(n_payload):
                 seg = jnp.broadcast_to(
-                    payload_t_ref[0, gcol, p:p + 1, pl.ds(start, 128)], (8, 128)
+                    payload_t_ref[0, gcol, p:p + 1, pl.ds(start, 128)],
+                    (batch_rows, 128)
                 )
                 out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
             return tuple(out)
 
-        vals = tuple(jnp.zeros((8, 128), F32) for _ in range(n_payload))
+        vals = tuple(jnp.zeros((batch_rows, 128), F32)
+                     for _ in range(n_payload))
         vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
 
         c0 = layout.c0
@@ -506,9 +511,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             # Texture sampling from the VMEM LUT (FORMULAS.md formulas).
             if layout.tex_const is not None:
                 cbase, ctw, cth = layout.tex_const
-                base = jnp.full((8, 128), F32(cbase))
-                tw = jnp.full((8, 128), F32(ctw))
-                th = jnp.full((8, 128), F32(cth))
+                base = jnp.full((batch_rows, 128), F32(cbase))
+                tw = jnp.full((batch_rows, 128), F32(ctw))
+                th = jnp.full((batch_rows, 128), F32(cth))
             else:
                 tw = vals[P_TW]
                 th = vals[P_TH]
@@ -531,13 +536,15 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     res = []
                     for ch in range(4):
                         seg = jnp.broadcast_to(
-                            tex_ref[ch:ch + 1, pl.ds(start, 128)], (8, 128)
+                            tex_ref[ch:ch + 1, pl.ds(start, 128)],
+                            (batch_rows, 128)
                         )
                         res.append(
                             jnp.where(sel, _gather128(seg, loc), out[ch]))
                     return tuple(res)
 
-                out = tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+                out = tuple(jnp.zeros((batch_rows, 128), F32)
+                            for _ in range(4))
                 return jax.lax.fori_loop(tjmin, tjmax + 1, body, out)
 
             def texel_index(txf, tyf):
@@ -582,7 +589,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     start = pl.multiple_of(j * 128, 128)
                     segs = [tex_ref[ch:ch + 1, pl.ds(start, 128)]
                             for ch in range(4)]
-                    segs = [jnp.broadcast_to(s_, (8, 128)) for s_ in segs]
+                    segs = [jnp.broadcast_to(s_, (batch_rows, 128))
+                            for s_ in segs]
                     res = [list(o) for o in out]
                     for ti_, tp in enumerate(taps):
                         loc = tp - j * 128
@@ -595,7 +603,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     return tuple(tuple(r) for r in res)
 
                 zeros_taps = tuple(
-                    tuple(jnp.zeros((8, 128), F32) for _ in range(4))
+                    tuple(jnp.zeros((batch_rows, 128), F32) for _ in range(4))
                     for _ in range(n_taps)
                 )
                 fetched = jax.lax.fori_loop(tjmin, tjmax + 1, body_taps,
@@ -645,10 +653,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         for ch in range(4):
             out = jnp.where(covered, src[ch], F32(0.0))
-            for row in range(8):
+            for row in range(batch_rows):
                 src_ref[
                     0, gcol, ch:ch + 1,
-                    pl.ds((pt * 8 + row) * 128, 128),
+                    pl.ds((pt * batch_rows + row) * 128, 128),
                 ] = out[row:row + 1, :]
 
     return kernel
@@ -658,14 +666,16 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
-                     "skip_shading", "cols", "layout", "use_ybounds"),
+                     "skip_shading", "cols", "layout", "use_ybounds",
+                     "batch_rows"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
                       sampling, with_phong, interpret, chunk=CHUNK,
                       skip_shading=False, cols=1,
                       layout: PayloadLayout = FULL_LAYOUT,
-                      use_ybounds: bool = True, slab_bounds=None):
+                      use_ybounds: bool = True, slab_bounds=None,
+                      batch_rows: int = 8):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
@@ -690,7 +700,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
-                          use_ybounds)
+                          use_ybounds, batch_rows)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -824,6 +834,7 @@ def render_fused(
     shard_budget: int | None = None,
     layout: PayloadLayout = FULL_LAYOUT,
     use_ybounds: bool | None = None,
+    batch_rows: int = 8,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -898,6 +909,6 @@ def render_fused(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, sampling, with_phong,
         interpret, chunk, skip_shading, cols, layout, use_ybounds,
-        bins.slab_bounds,
+        bins.slab_bounds, batch_rows,
     )
     return z, src, bins.overflow + compact_dropped

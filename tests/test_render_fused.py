@@ -170,6 +170,24 @@ def test_fused_multislab_no_ybounds_matches_ref():
     )
 
 
+def test_fused_wide_shading_batch_matches_ref():
+    """batch_rows=16 (2048-px shading batches, [16,128] vregs) must match ref
+    exactly — pure batching change, same formulas."""
+    tex = primitives.checkerboard(16, 4)
+    a = _run(primitives.uv_sphere(10, 14), "ref", "phong", "bilinear", tex)
+    fb = fblib.clear(fblib.create(H, W), jnp.asarray([0.05, 0.02, 0.1, 1],
+                                                     jnp.float32))
+    b = draw_mesh(fb, primitives.uv_sphere(10, 14), MODEL, PROJ, texture=tex,
+                  light=LIGHT, shading="phong", sampling_mode="bilinear",
+                  backend="fused",
+                  raster_opts=dict(tile_h=32, capacity=128, small_span=16,
+                                   batch_rows=16))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
+    )
+
+
 def test_binning_slab_bounds_conservative():
     """Every slot whose triangle's y-range intersects an 8-row slab must fall
     inside that slab's [start, end) range (missing one would drop geometry;

@@ -54,11 +54,10 @@ def main():
 
     base = dict(tile_h=64, tile_w=128, capacity=256)
     variants = [
-        ("tile64 yb", make_frame(base)),
-        ("yb-phase1", make_frame({**base, "skip_shading": True})),
-        ("yb-nearest", make_frame(base, sampling="nearest")),
-        ("yb-chunk16", make_frame({**base, "chunk": 16})),
-        ("yb-gouraud", make_frame(base, shading="gouraud")),
+        ("yb-batch32", make_frame({**base, "batch_rows": 32})),
+        ("yb-batch64", make_frame({**base, "batch_rows": 64})),
+        ("yb-batch32-nearest", make_frame({**base, "batch_rows": 32},
+                                          sampling="nearest")),
     ]
     for name, frame in variants:
         t0 = time.time()
@@ -106,11 +105,11 @@ def main():
                              n_slabs=1)
         return bins.setup, color
 
-    soup_base = dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False)
+    soup_base = dict(tile_h=16, capacity=512, small_span=8, use_ybounds=False,
+                     cols=2)
     svariants = [
-        ("soup full", make_soup(soup_base)),
-        ("soup phase1-only", make_soup({**soup_base, "skip_shading": True})),
-        ("soup bin-only", bin_only),
+        ("soup cols2", make_soup(soup_base)),
+        ("soup cols2-batch16", make_soup({**soup_base, "batch_rows": 16})),
     ]
     for name, frame in svariants:
         t0 = time.time()

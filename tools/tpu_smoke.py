@@ -74,7 +74,8 @@ def main():
                 [DrawSpec(sphere, m, texture=tex, shading="phong")
                  for m in models],
                 light=light, sampling_mode="bilinear",
-                raster_opts=dict(tile_h=64, tile_w=128, capacity=256),
+                raster_opts=dict(tile_h=64, tile_w=128, capacity=256,
+                                 batch_rows=32),
             )
         out = jax.block_until_ready(f(fb0.color, fb0.depth))
         sane(out)
@@ -91,7 +92,8 @@ def main():
             return draw_meshes(
                 fb, proj, [DrawSpec(soup, mdl, shading="gouraud")],
                 sampling_mode="nearest", near_clip=False,
-                raster_opts=dict(tile_h=16, capacity=512, small_span=8),
+                raster_opts=dict(tile_h=16, capacity=512, small_span=8,
+                                 use_ybounds=False, cols=2, batch_rows=16),
             )
         out = jax.block_until_ready(f(fb0.color, fb0.depth))
         sane(out)
