@@ -57,8 +57,10 @@ def main():
     ]
 
     backend = "fused"
-    raster_opts = dict(tile_h=64, tile_w=128, capacity=256,
-                       batch_rows=32)  # 4096-px shading batches (tools/profile_fused.py)
+    # tuned via tools/profile_fused.py sweeps: 64x128 tiles, 4096-px shading
+    # batches (t128/c384 measured within run-to-run noise of t64; t64 keeps
+    # the larger capacity margin). Audited zero-overflow below.
+    raster_opts = dict(tile_h=64, tile_w=128, capacity=256, batch_rows=32)
 
     # Pre-flight: assert zero bin overflow (overflow = silent triangle drops).
     from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene

@@ -834,7 +834,7 @@ def render_fused(
     shard_budget: int | None = None,
     layout: PayloadLayout = FULL_LAYOUT,
     use_ybounds: bool | None = None,
-    batch_rows: int = 8,
+    batch_rows: int | None = None,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -866,6 +866,14 @@ def render_fused(
     if use_ybounds is None:
         use_ybounds = tile_h > 8
     use_ybounds = use_ybounds and tile_h > 8
+    if batch_rows is None:
+        # Wider shading batches amortize per-batch fixed costs (segment loads,
+        # tap-range reductions); 32 rows is the measured plateau. min(32,
+        # tile_h) always divides the tile's pixel rows.
+        batch_rows = min(32, tile_h)
+    batch_rows = min(batch_rows, tile_h)
+    while tile_h % batch_rows:  # snap to a divisor of tile_h (both mult of 8)
+        batch_rows //= 2
     # bilinear: False/0 = nearest, True/1 = bilinear, SAMPLE_MIXED (2) = per-
     # triangle choice via the P_FLAGS payload bit 1.
     sampling = int(bilinear)

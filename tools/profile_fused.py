@@ -53,11 +53,14 @@ def main():
         return frame
 
     base = dict(tile_h=64, tile_w=128, capacity=256)
+    b32 = {**base, "batch_rows": 32}
     variants = [
-        ("yb-batch32", make_frame({**base, "batch_rows": 32})),
-        ("yb-batch64", make_frame({**base, "batch_rows": 64})),
-        ("yb-batch32-nearest", make_frame({**base, "batch_rows": 32},
-                                          sampling="nearest")),
+        ("t64-b32 (bench)", make_frame(b32)),
+        ("t64-b32-phase1", make_frame({**b32, "skip_shading": True})),
+        ("t128c384-b32", make_frame(dict(tile_h=128, tile_w=128, capacity=384,
+                                         batch_rows=32))),
+        ("t32c256-b32", make_frame(dict(tile_h=32, tile_w=128, capacity=256,
+                                        batch_rows=32))),
     ]
     for name, frame in variants:
         t0 = time.time()
