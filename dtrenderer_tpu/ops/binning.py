@@ -37,10 +37,13 @@ class Bins(NamedTuple):
     setup: jnp.ndarray    # f32 [n_ty, n_tx, K, C]: 16 coef + id (bitcast) + payload
     counts: jnp.ndarray   # i32 [n_ty, n_tx] valid slots per tile (<= K)
     overflow: jnp.ndarray  # i32 [] total (tile,tri) pairs dropped due to capacity
-    # i32 [n_ty, n_tx, n_slabs, 2] (start, end) slot range per 8-row slab, or
-    # None when n_slabs == 1. A CONSERVATIVE superset of the slots whose y span
-    # can touch the slab (bins are y-sorted, so the relevant slots are
-    # contiguous); the kernel loops only [start, end) — cond-free slab culling.
+    # i32 [n_ty, n_tx, n_slabs + 1, 2] (start, end) slot ranges, or None when
+    # n_slabs == 1. Entries 0..n_slabs-1: a CONSERVATIVE superset of the
+    # SMALL-triangle slots whose y span can touch that 8-row slab (bins are
+    # y-sorted, so they are contiguous). Entry n_slabs: the broad-triangle
+    # suffix [cnt_small, count), walked by every slab in a second (usually
+    # empty) loop. Cond-free slab culling; superset/overlap is image-identical
+    # (edge functions reject non-coverers; the depth carry is idempotent).
     slab_bounds: jnp.ndarray | None = None
 
 SETUP_ID_CHANNEL = 16
@@ -249,13 +252,20 @@ def bin_triangles(
         y0b = y0_s.reshape(n_ty, n_tx, 1, K)
         mh4 = max_h.reshape(n_ty, n_tx, 1, 1)
         # y0-sorted prefix whose y1 (<= y0+max_h) cannot reach the slab; exact
-        # suffix whose y0 is already past the slab. Broads (appended after the
-        # smalls, unsorted) extend the range to the full count.
+        # suffix whose y0 is already past the slab. Broads (the unsorted
+        # [cnt_s, counts) suffix) get their OWN extra range entry — every slab
+        # walks it in a second (usually empty) chunk loop, so one broad
+        # triangle does not blow the tight small-triangle ends tile-wide.
+        # Re-visiting a slot in both loops would be harmless anyway: the
+        # (min z, min id) carry is idempotent.
         start = jnp.sum(y0b < lo4 - mh4, axis=-1, dtype=I32)  # [n_ty,n_tx,S]
         end = jnp.sum(y0b <= hi4, axis=-1, dtype=I32)
-        cnt4 = counts.reshape(n_ty, n_tx)[:, :, None]
-        end = jnp.where(n_broad > 0, cnt4, end)
-        slab_bounds = jnp.stack([start, end], axis=-1)        # [n_ty,n_tx,S,2]
+        broad_rng = jnp.broadcast_to(
+            jnp.stack([cnt_s, counts], axis=-1).reshape(n_ty, n_tx, 1, 2),
+            (n_ty, n_tx, 1, 2))
+        slab_bounds = jnp.concatenate(
+            [jnp.stack([start, end], axis=-1), broad_rng], axis=2
+        )  # [n_ty, n_tx, S+1, 2]; entry S = the shared broad suffix
 
     # Padding slots keep row-0 GARBAGE in coef/payload (zero-filling them costs
     # a full [tiles*K, C] select); only the id channel marks them (-1). The

@@ -207,7 +207,8 @@ def dummy_texture_lut():
 
 
 def _gather128(seg, idx):
-    """seg [8,128] f32, idx [8,128] i32 in [0,128) -> seg[r, idx[r, l]]."""
+    """seg/idx [batch_rows, 128] (f32/i32, idx in [0,128)) ->
+    seg[r, idx[r, l]] — a per-sublane dynamic lane gather."""
     return jnp.take_along_axis(seg, idx, axis=1)
 
 
@@ -291,14 +292,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             iota_c = jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
 
             if use_ybounds and n_slabs > 1:
-                sb_col = (tj * n_slabs + s_i) * 2
-                ks = sb_ref[ti, sb_col]
-                ke = jnp.minimum(sb_ref[ti, sb_col + 1], n)
-                c_lo = ks // chunk
-                c_hi = pl.cdiv(ke, chunk)
+                # Two ranges: this slab's tight small-triangle range (entry
+                # s_i) and the shared broad suffix (entry n_slabs, usually
+                # empty). Chunk overlap between them is harmless — the depth
+                # carry is idempotent.
+                n_entries = n_slabs + 1
+                ranges = []
+                for e in (s_i, n_slabs):
+                    sb_col = (tj * n_entries + e) * 2
+                    ks = sb_ref[ti, sb_col]
+                    ke = jnp.minimum(sb_ref[ti, sb_col + 1], n)
+                    ranges.append((ks // chunk, pl.cdiv(ke, chunk)))
             else:
-                c_lo = 0
-                c_hi = n_chunks
+                ranges = [(0, n_chunks)]
 
             def chunk_body(c, carry):
                 k0 = pl.multiple_of(c * chunk, chunk)
@@ -380,7 +386,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                         init_slot, zero, zero, zero)
             else:
                 init = (init_z, init_slot, zero, zero, zero)
-            res = jax.lax.fori_loop(c_lo, c_hi, chunk_body, init)
+            res = init
+            for c_lo, c_hi in ranges:
+                res = jax.lax.fori_loop(c_lo, c_hi, chunk_body, res)
 
             # Cross-row resolve, ONCE per slab: min z, tie-break by key.
             if tie_by_id:
@@ -440,7 +448,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         # Batch batch_rows contiguous 128-pixel groups onto sublanes by
         # CONCATENATING [1,128] slices (Mosaic can't shape-cast lanes to
         # sublanes). Row r covers flat pixels [pt*batch_px + r*128, ... + 128).
-        def rows8(vec):
+        def batch_of(vec):
             return jnp.concatenate(
                 [vec[0:1, (pt * batch_rows + r) * 128:
                      (pt * batch_rows + r + 1) * 128]
@@ -448,11 +456,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 axis=0,
             )
 
-        sl = rows8(best_slot)
-        covered = rows8(best_z) != jnp.inf
-        b0 = rows8(bb0)
-        b1 = rows8(bb1)
-        b2 = rows8(bb2)
+        sl = batch_of(best_slot)
+        covered = batch_of(best_z) != jnp.inf
+        b0 = batch_of(bb0)
+        b1 = batch_of(bb1)
+        b2 = batch_of(bb2)
         light_x = scal_ref[0, 0]
         light_y = scal_ref[0, 1]
         light_z = scal_ref[0, 2]
@@ -871,8 +879,10 @@ def render_fused(
         # tap-range reductions); 32 rows is the measured plateau. min(32,
         # tile_h) always divides the tile's pixel rows.
         batch_rows = min(32, tile_h)
-    batch_rows = min(batch_rows, tile_h)
-    while tile_h % batch_rows:  # snap to a divisor of tile_h (both mult of 8)
+    # Snap to a batch that tiles n_pix exactly (handles tile_w != 128 too).
+    n_pix_ = tile_h * tile_w
+    batch_rows = max(1, min(batch_rows, n_pix_ // 128))
+    while n_pix_ % (batch_rows * 128):
         batch_rows //= 2
     # bilinear: False/0 = nearest, True/1 = bilinear, SAMPLE_MIXED (2) = per-
     # triangle choice via the P_FLAGS payload bit 1.

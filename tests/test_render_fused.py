@@ -201,6 +201,9 @@ def test_binning_slab_bounds_conservative():
     hs = rng.integers(1, 30, T).astype(np.int32)  # mixed tri heights
     bbox = np.stack([xs, ys, xs + rng.integers(1, 20, T), ys + hs],
                     axis=1).astype(np.int32)
+    # a few BROAD triangles (span > small_span tiles) exercise the shared
+    # broad-suffix range entry
+    bbox[:3] = [[0, 0, 250, 120], [10, 5, 255, 127], [0, 60, 255, 127]]
     coef = rng.normal(size=(T, 16)).astype(np.float32)
     valid = np.ones((T,), bool)
     tile_h, n_slabs = 32, 4
@@ -211,13 +214,16 @@ def test_binning_slab_bounds_conservative():
     counts = np.asarray(bins.counts)
     ids = np.asarray(bins.setup)[..., 16].view(np.int32)
     sb = np.asarray(bins.slab_bounds)
-    assert sb.shape == (h // tile_h, w // 128, n_slabs, 2)
+    # n_slabs small-triangle ranges + 1 shared broad-suffix range
+    assert sb.shape == (h // tile_h, w // 128, n_slabs + 1, 2)
     for ty in range(h // tile_h):
         for tx in range(w // 128):
             n = counts[ty, tx]
+            bs, be = sb[ty, tx, n_slabs]  # broad suffix [cnt_small, count)
+            assert 0 <= bs <= be <= n
             slots = ids[ty, tx][:n]
-            # y-sorted bins: y0 non-decreasing over the slots
-            y0s = bbox[slots, 1]
+            # y-sorted bins: y0 non-decreasing over the SMALL prefix
+            y0s = bbox[slots[:bs], 1]
             assert (np.diff(y0s) >= 0).all()
             for s in range(n_slabs):
                 lo = ty * tile_h + s * 8
@@ -227,7 +233,9 @@ def test_binning_slab_bounds_conservative():
                 for k in range(n):
                     tri = slots[k]
                     if bbox[tri, 1] <= hi and bbox[tri, 3] >= lo:
-                        assert st <= k < en, (ty, tx, s, k)
+                        # every intersecting slot is covered by the slab's
+                        # small range OR the shared broad suffix
+                        assert (st <= k < en) or (bs <= k < be), (ty, tx, s, k)
 
 
 def test_binning_packed_key_matches_fallback():
@@ -304,3 +312,42 @@ def test_fused_matches_ref_fuzz(seed):
     assert np.array_equal(
         np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
     ), (shading, sampl, opts)
+
+
+def test_fused_broad_plus_small_y_sorted_matches_ref():
+    """A huge (broad-binned) triangle underneath many small ones, rendered on
+    the y-sorted slab-culled path: the shared broad-suffix range must reach
+    every slab (missing it would hole out the floor)."""
+    import dtrenderer_tpu.models.mesh as meshlib
+
+    rng = np.random.default_rng(9)
+    small = primitives.random_triangle_soup(120, rng_seed=21, extent=0.9)
+    # one screen-filling floor triangle behind the soup
+    floor_v = np.array([[-8, -8, -1.0], [8, -8, -1.0], [0, 8, -1.0]],
+                       np.float32)
+    floor = meshlib.make_mesh(floor_v)
+
+    def run(backend):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        opts = (dict(tile_h=32, capacity=256, small_span=2, broad_cap=128)
+                if backend == "fused" else None)
+        fb = draw_mesh(fb, floor, MODEL, PROJ, color=(0.3, 0.5, 0.2, 1.0),
+                       shading="none", backend=backend, raster_opts=opts,
+                       cull_backfaces=False)
+        fb = draw_mesh(fb, small, MODEL, PROJ, color=(0.8, 0.4, 0.4, 1.0),
+                       shading="gouraud", light=LIGHT, backend=backend,
+                       raster_opts=opts)
+        return fb
+
+    a, b = run("ref"), run("fused")
+    da, db = np.asarray(a.depth), np.asarray(b.depth)
+    # coverage exact; depth to FMA-contraction noise (cross-PROGRAM f32
+    # bitwise equality is not meaningful — ARCHITECTURE.md "Correctness
+    # chain"); packed u8 image byte-exact.
+    assert np.array_equal(np.isfinite(da), np.isfinite(db))
+    m = np.isfinite(da)
+    assert np.allclose(da[m], db[m], rtol=1e-6, atol=0)
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
+    )
