@@ -306,6 +306,8 @@ def draw_mesh(
         layout = plan_layout(feats, mixed_sampling=False)
         flags = pack_flags(is_phong, sampling_mode == "bilinear")
         payload = pack_payload(attrs10, layout, meta[0], flags)
+        opts = _with_auto_shard_budget(
+            raster_opts, setup.coef.shape[0], h, w, fh, fw)
         z, src, overflow = render_fused(
             setup.coef, setup.bbox, setup.valid, payload, tex_lut,
             light.direction, light.ambient, h, w,
@@ -313,7 +315,7 @@ def draw_mesh(
             bilinear=(sampling_mode == "bilinear") and layout.has_uv,
             with_phong=is_phong,
             layout=layout,
-            **(raster_opts or {}),
+            **opts,
         )
         win = z < fb.depth
         blended = blend_over(src, fb.color)
@@ -358,6 +360,22 @@ def draw_mesh(
     return _finish_draw(out, fb, mesh, setup, z, tri, overflow, return_counters)
 
 
+def _with_auto_shard_budget(raster_opts, n_tris: int, h: int, w: int,
+                            fh: int, fw: int) -> dict:
+    """When this fused call renders a BAND of a larger frame (the sharded
+    paths: parallel/shard.py, cli --rows, config 5), default shard_budget so
+    each device bins only ~its band's triangles instead of the full scene's
+    (render_fused.auto_shard_budget). An explicit raster_opts shard_budget
+    always wins; unsharded calls (fb == full frame) are untouched."""
+    opts = dict(raster_opts or {})
+    n_bands = max(1, fh // h) * max(1, fw // w)
+    if "shard_budget" not in opts and n_bands > 1:
+        from dtrenderer_tpu.ops.render_fused import auto_shard_budget
+
+        opts["shard_budget"] = auto_shard_budget(n_tris, n_bands)
+    return opts
+
+
 def _finish_draw(out, fb, mesh, setup, z, tri, overflow, return_counters):
     if not return_counters:
         return out
@@ -390,6 +408,7 @@ def draw_mesh_ordered(
     y_offset=0,
     x_offset=0,
     near_clip: bool = True,
+    window: tuple[int, int] | None = (64, 128),
 ):
     """Reference-order draw: per-triangle z-test + blend + depth-WRITE in
     submission order — the reference's sequential per-pixel loop semantics
@@ -397,10 +416,17 @@ def draw_mesh_ordered(
     reproduce for TRANSLUCENT geometry (overlapping translucent triangles
     stack in submission order and write depth).
 
-    Implemented as a lax.scan over triangles with full-frame masked blending:
-    O(T·H·W) sequential — intended for translucent meshes (typically small);
-    opaque geometry should use draw_mesh/draw_meshes (bit-identical for opaque,
-    vastly faster). Formulas identical to shade_deferred (FORMULAS.md).
+    Implemented as a lax.scan over triangles. Each step evaluates only a
+    fixed-size `window` (wh, ww) of the framebuffer positioned over the
+    triangle's clamped pixel bbox (dynamic_slice in, blend, update-slice out)
+    — the reference pays bbox pixels per triangle, and so do we, modulo the
+    static window shape. Triangles whose bbox exceeds the window fall back to
+    a full-frame evaluation inside the same scan (exact, just slower);
+    window=None forces full-frame for every triangle. Per-pixel formulas and
+    values are IDENTICAL to the windowed-off path (same px/py, elementwise
+    math), so images are bit-equal regardless of window size. Opaque geometry
+    should use draw_mesh/draw_meshes (bit-identical for opaque, vastly
+    faster). Formulas identical to shade_deferred (FORMULAS.md).
     """
     import jax
 
@@ -427,15 +453,17 @@ def draw_mesh_ordered(
         [attrs10, jnp.zeros((Tp, 3, ATTR_CHANNELS - 10), F32)], axis=-1
     )
 
-    px = (jnp.arange(w, dtype=F32) + (F32(0.5) + jnp.asarray(x_offset, F32)))[None, :]
-    py = (jnp.arange(h, dtype=F32) + (F32(0.5) + jnp.asarray(y_offset, F32)))[:, None]
+    x_off = jnp.asarray(x_offset, jnp.int32)
+    y_off = jnp.asarray(y_offset, jnp.int32)
+    px = (jnp.arange(w, dtype=F32) + (F32(0.5) + x_off.astype(F32)))[None, :]
+    py = (jnp.arange(h, dtype=F32) + (F32(0.5) + y_off.astype(F32)))[:, None]
 
-    def step(carry, inp):
-        colorbuf, depthbuf = carry
-        coef_t, valid_t, attr_t = inp  # [16], bool, [3, 16]
-        inside, z, b = coverage_and_depth(coef_t, px, py)  # [H, W]
-        b = tuple(bb[..., None] for bb in b)
-        ip = interp(b, attr_t[0], attr_t[1], attr_t[2])  # [H, W, 16]
+    if window is None:
+        wh, ww = h, w
+    else:
+        wh, ww = min(window[0], h), min(window[1], w)
+
+    def _shade_src(ip):
         qf = ip[..., 0]
         inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
         u = ip[..., 1] * inv_qf
@@ -447,15 +475,73 @@ def draw_mesh_ordered(
             n = ip[..., 7:10] * inv_qf[..., None]
             term = light_term(n, light)
             src = apply_light(src, term)
-        win = inside & valid_t & (z < depthbuf)
-        blended = blend_over(src, colorbuf)
+        return src
+
+    def _blend_patch(color_p, depth_p, coef_t, attr_t, px_p, py_p, valid_t):
+        """One triangle over one pixel patch (window or full frame): identical
+        formulas to the pre-window implementation — px/py VALUES decide the
+        result, not the patch shape."""
+        inside, z, b = coverage_and_depth(coef_t, px_p, py_p)
+        b = tuple(bb[..., None] for bb in b)
+        ip = interp(b, attr_t[0], attr_t[1], attr_t[2])
+        src = _shade_src(ip)
+        win = inside & valid_t & (z < depth_p)
+        blended = blend_over(src, color_p)
         return (
-            jnp.where(win[..., None], blended, colorbuf),
-            jnp.where(win, z, depthbuf),
-        ), None
+            jnp.where(win[..., None], blended, color_p),
+            jnp.where(win, z, depth_p),
+        )
+
+    def step(carry, inp):
+        colorbuf, depthbuf = carry
+        coef_t, valid_t, attr_t, bbox_t = inp  # [16], bool, [3,16], [4]
+        # bbox is FULL-frame coords; this fb may be a band (y/x offsets).
+        lx0 = jnp.clip(bbox_t[0] - x_off, 0, w - 1)
+        ly0 = jnp.clip(bbox_t[1] - y_off, 0, h - 1)
+        lx1 = jnp.clip(bbox_t[2] - x_off, 0, w - 1)
+        ly1 = jnp.clip(bbox_t[3] - y_off, 0, h - 1)
+        in_band = (
+            valid_t
+            & (bbox_t[2] >= x_off) & (bbox_t[0] < x_off + w)
+            & (bbox_t[3] >= y_off) & (bbox_t[1] < y_off + h)
+        )
+        fits = (lx1 - lx0 + 1 <= ww) & (ly1 - ly0 + 1 <= wh)
+
+        def skip(carry):
+            return carry
+
+        def windowed(carry):
+            colorbuf, depthbuf = carry
+            ox = jnp.minimum(lx0, w - ww)  # lx0 >= 0 already
+            oy = jnp.minimum(ly0, h - wh)
+            color_p = jax.lax.dynamic_slice(colorbuf, (oy, ox, 0), (wh, ww, 4))
+            depth_p = jax.lax.dynamic_slice(depthbuf, (oy, ox), (wh, ww))
+            px_p = ((ox + jnp.arange(ww, dtype=jnp.int32)).astype(F32)
+                    + (F32(0.5) + x_off.astype(F32)))[None, :]
+            py_p = ((oy + jnp.arange(wh, dtype=jnp.int32)).astype(F32)
+                    + (F32(0.5) + y_off.astype(F32)))[:, None]
+            color_p, depth_p = _blend_patch(
+                color_p, depth_p, coef_t, attr_t, px_p, py_p, True)
+            return (
+                jax.lax.dynamic_update_slice(colorbuf, color_p, (oy, ox, 0)),
+                jax.lax.dynamic_update_slice(depthbuf, depth_p, (oy, ox)),
+            )
+
+        def full(carry):
+            colorbuf, depthbuf = carry
+            return _blend_patch(colorbuf, depthbuf, coef_t, attr_t, px, py,
+                                True)
+
+        if (wh, ww) == (h, w):
+            new = jax.lax.cond(in_band, full, skip, carry)
+        else:
+            idx = jnp.where(in_band, jnp.where(fits, 1, 2), 0)
+            new = jax.lax.switch(idx, [skip, windowed, full], carry)
+        return new, None
 
     (new_color, new_depth), _ = jax.lax.scan(
-        step, (fb.color, fb.depth), (setup.coef, setup.valid, attrs16)
+        step, (fb.color, fb.depth),
+        (setup.coef, setup.valid, attrs16, setup.bbox),
     )
     return Framebuffer(color=new_color, depth=new_depth)
 
@@ -510,12 +596,13 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("use_ybounds", None)  # capacity counts don't depend on bin order
     opts.pop("batch_rows", None)
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
-    # mirror render_fused's defaults (binning's own differ)
-    opts.setdefault("tile_h", 32)
-    opts.setdefault("tile_w", 128)
-    opts.setdefault("small_span", 16)
-    opts.setdefault("broad_cap", 128)
-    capacity = opts.setdefault("capacity", 512)
+    # render_fused's defaults, from the single shared source (binning's own
+    # defaults differ — never mirror by hand).
+    from dtrenderer_tpu.ops.render_fused import DEFAULT_RASTER_OPTS
+
+    for k, v in DEFAULT_RASTER_OPTS.items():
+        opts.setdefault(k, v)
+    capacity = opts["capacity"]
 
     coefs, bboxes, valids = [], [], []
     for d in draws:
@@ -604,42 +691,55 @@ def draw_meshes(
     fw = frame_width if frame_width is not None else w
 
     # Translucent draws (color alpha < 1 or explicit DrawSpec.translucent) are
-    # split out: the opaque batch renders first in ONE fused call (order-free,
-    # exact), then translucent draws follow in submission order through the
-    # reference-order sequential path, blending over the opaque result and
-    # writing depth like the reference's forward loop. NOTE: this reorders
-    # translucent draws AFTER opaque ones; for exact reference draw order across
-    # opaque/translucent interleavings, issue sequential draw_mesh_ordered
-    # calls yourself. Counters (return_counters) cover the opaque batch.
+    # handled by partitioning the submission list into maximal OPAQUE RUNS and
+    # translucent singles, rendered strictly in submission order: each opaque
+    # run is one fused batched call (order-free internally — exact, FORMULAS.md
+    # depth contract), each translucent draw goes through the reference-order
+    # sequential path, blending over everything before it and writing depth
+    # like the reference's forward loop. Opaque-translucent-opaque
+    # interleavings therefore match sequential reference submission exactly.
+    # Counters (return_counters) cover the opaque runs.
     if any(is_translucent_draw(d) for d in draws):
-        opaque = [d for d in draws if not is_translucent_draw(d)]
-        trans = [(d, d.sampling or sampling_mode) for d in draws
-                 if is_translucent_draw(d)]
-        if opaque:
-            res = draw_meshes(
-                fb, view_proj, opaque, light=light,
-                sampling_mode=sampling_mode, cull_backfaces=cull_backfaces,
-                frame_height=fh, frame_width=fw,
-                y_offset=y_offset, x_offset=x_offset,
-                raster_opts=raster_opts, near_clip=near_clip,
-                return_counters=return_counters,
-            )
-            out, counters = res if return_counters else (res, None)
-        else:
-            out = fb
-            counters = None
-            if return_counters:
-                from dtrenderer_tpu.debug import FrameCounters
+        segments: list[tuple[str, object]] = []  # ("opaque", [ds]) | ("trans", d)
+        for d in draws:
+            if is_translucent_draw(d):
+                segments.append(("trans", d))
+            elif segments and segments[-1][0] == "opaque":
+                segments[-1][1].append(d)
+            else:
+                segments.append(("opaque", [d]))
+        out = fb
+        counters = None
+        if return_counters:
+            from dtrenderer_tpu.debug import FrameCounters
 
-                counters = FrameCounters.zero()
-        for d, smp in trans:
-            out = draw_mesh_ordered(
-                out, d.mesh, d.model, view_proj, texture=d.texture,
-                light=light, color=d.color, shading=d.shading,
-                sampling_mode=smp, cull_backfaces=cull_backfaces,
-                normal_mat=d.normal_mat, frame_height=fh, frame_width=fw,
-                y_offset=y_offset, x_offset=x_offset, near_clip=near_clip,
-            )
+            counters = FrameCounters.zero()
+        for kind, seg in segments:
+            if kind == "opaque":
+                res = draw_meshes(
+                    out, view_proj, seg, light=light,
+                    sampling_mode=sampling_mode,
+                    cull_backfaces=cull_backfaces,
+                    frame_height=fh, frame_width=fw,
+                    y_offset=y_offset, x_offset=x_offset,
+                    raster_opts=raster_opts, near_clip=near_clip,
+                    return_counters=return_counters,
+                )
+                if return_counters:
+                    out, c = res
+                    counters = counters.merge(c)
+                else:
+                    out = res
+            else:
+                d = seg
+                out = draw_mesh_ordered(
+                    out, d.mesh, d.model, view_proj, texture=d.texture,
+                    light=light, color=d.color, shading=d.shading,
+                    sampling_mode=d.sampling or sampling_mode,
+                    cull_backfaces=cull_backfaces,
+                    normal_mat=d.normal_mat, frame_height=fh, frame_width=fw,
+                    y_offset=y_offset, x_offset=x_offset, near_clip=near_clip,
+                )
         return (out, counters) if return_counters else out
 
     if sampling_mode not in ("nearest", "bilinear"):
@@ -732,7 +832,7 @@ def draw_meshes(
         bilinear=scene_sampling if layout.has_uv else False,
         with_phong=any_phong,
         layout=layout,
-        **(raster_opts or {}),
+        **_with_auto_shard_budget(raster_opts, coef.shape[0], h, w, fh, fw),
     )
     win = z < fb.depth
     blended = blend_over(src, fb.color)

@@ -137,6 +137,15 @@ TEX_LUT_MAX_TEXELS = 1 << 19   # 512K texels = 8 MB
 TEX_BUDGET_TEXELS = 1 << 18    # 256K texels = 4 MB (auto-fallback threshold)
 
 
+# Single source of truth for the raster/binning defaults shared by
+# render_fused, pipeline.audit_scene, and callers that mirror production
+# settings — a default change here propagates everywhere (a hand-mirrored copy
+# in audit_scene once risked silently desynchronizing audits from production).
+DEFAULT_RASTER_OPTS = dict(
+    tile_h=32, tile_w=128, capacity=512, small_span=16, broad_cap=128,
+)
+
+
 def pack_flags(is_phong: bool, is_bilinear: bool) -> float:
     """Per-triangle P_FLAGS payload value."""
     return float(int(is_phong) + 2 * int(is_bilinear))
@@ -216,7 +225,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  sampling: int, with_phong: bool, chunk: int = CHUNK,
                  skip_shading: bool = False, cols: int = 1,
                  layout: PayloadLayout = FULL_LAYOUT,
-                 use_ybounds: bool = True, batch_rows: int = 8):
+                 use_ybounds: bool = True, batch_rows: int = 8,
+                 tie_by_id: bool = True):
     n_pix = tile_h * tile_w
     batch_px = batch_rows * 128
     assert n_pix % batch_px == 0, "tile must hold whole shading batches"
@@ -277,11 +287,13 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         # The chunk loop carries PER-ROW bests [chunk, slab_pix] (row r only
         # competes against its own carry) and resolves across rows ONCE per
         # slab — the per-chunk (min z, min id) reduction trees were phase 1's
-        # single biggest cost. Tie-break key: triangle id when bins are
-        # y-sorted; bin SLOT when bins are tri-sorted (slot order == id order
-        # then, so min slot == min id and the id channel is never read).
+        # single biggest cost. Tie-break key: the triangle id channel, UNLESS
+        # tie_by_id=False (tri-sorted bins with broad_cap == 0: slot order ==
+        # id order then, so min slot == min id and the id channel is never
+        # read). With broads, tri-sorted bins are [smalls by id][broads by id]
+        # and slot order diverges from id order, so the id channel is required
+        # for the FORMULAS.md min-id depth-tie contract.
         n_chunks = pl.cdiv(n, chunk)
-        tie_by_id = use_ybounds
 
         def make_slab(s_i):
             flat = jax.lax.broadcasted_iota(I32, (1, slab_pix), 1)
@@ -364,7 +376,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     else:
                         # within a row, later chunks have strictly larger
                         # slots: strict < keeps the earlier (smaller) slot on
-                        # a z tie, matching the min-id contract.
+                        # a z tie — equal to the min-id contract because
+                        # tie_by_id=False requires slot order == id order
+                        # (tri-sorted bins, broad_cap == 0).
                         take = zsel < bz
                         new = (
                             jnp.where(take, zsel, bz),
@@ -675,7 +689,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
                      "skip_shading", "cols", "layout", "use_ybounds",
-                     "batch_rows"),
+                     "batch_rows", "tie_by_id"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
@@ -683,7 +697,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       skip_shading=False, cols=1,
                       layout: PayloadLayout = FULL_LAYOUT,
                       use_ybounds: bool = True, slab_bounds=None,
-                      batch_rows: int = 8):
+                      batch_rows: int = 8, tie_by_id: bool = True):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
@@ -708,7 +722,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
-                          use_ybounds, batch_rows)
+                          use_ybounds, batch_rows, tie_by_id)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -791,6 +805,26 @@ def make_texture_lut(textures):
     return jnp.transpose(flat, (1, 0)), meta  # [4, L_pad]
 
 
+def auto_shard_budget(n_tris: int, n_bands: int, factor: float = 2.5,
+                      quantum: int = 128) -> int:
+    """Default per-band triangle budget for replicated-scene band sharding.
+
+    ~factor x the average triangles-per-band (rounded up to `quantum` for
+    clean sort/extract shapes): generous skew headroom while cutting each
+    device's binning sort from T keys to ~budget keys — the multi-chip
+    binning-scaling fix (SURVEY.md §2 P-THREAD / §5 long-context analog).
+    Bands whose true count exceeds the budget drop the excess COUNTED in the
+    overflow scalar (never silent); raise via raster_opts=dict(shard_budget=)
+    when an audit shows skew beyond factor.
+    """
+    import math
+
+    if n_bands <= 1:
+        return n_tris  # unsharded: compaction would be pure overhead
+    b = math.ceil(factor * n_tris / n_bands / quantum) * quantum
+    return max(quantum, b)
+
+
 def _compact_to_shard(coef, local_bbox, in_shard, payload, budget: int):
     """Compact the in-shard triangles to a fixed [budget] prefix (order-
     preserving), so per-shard binning sorts budget*small_span keys instead of
@@ -801,17 +835,17 @@ def _compact_to_shard(coef, local_bbox, in_shard, payload, budget: int):
     The compaction is monotone (original order preserved), so bin ids — which
     are row indices into the compacted table — keep the submission-order
     tie-break contract (FORMULAS.md) and the image stays bit-identical.
+
+    Implemented as ONE ascending T-element sort (in-shard triangles keep their
+    iota key, others get INT_MAX, prefix = kept ids in original order) — XLA
+    TPU scatters are far slower than sorts (CLAUDE.md gather/scatter cost
+    model), so the old .at[].set formulation is avoided.
     """
     T = coef.shape[0]
-    tri_ids = jnp.arange(T, dtype=I32)
-    pos = jnp.cumsum(in_shard.astype(I32)) - 1
-    keep = in_shard & (pos < budget)
-    scatter_to = jnp.where(keep, pos, budget)
-    sel = jnp.full((budget,), -1, I32).at[scatter_to].set(
-        tri_ids, mode="drop"
-    )
-    valid_c = sel >= 0
-    safe = jnp.maximum(sel, 0)
+    key = jnp.where(in_shard, jnp.arange(T, dtype=I32), INT_MAX)
+    sel = jax.lax.sort(key)[:budget]
+    valid_c = sel != INT_MAX
+    safe = jnp.where(valid_c, sel, 0)
     dropped = jnp.maximum(jnp.sum(in_shard.astype(I32)) - budget, 0)
     return (coef[safe], local_bbox[safe], valid_c, payload[safe], dropped)
 
@@ -828,11 +862,11 @@ def render_fused(
     width: int,
     y_offset=0,
     x_offset=0,
-    tile_h: int = 32,
-    tile_w: int = 128,
-    capacity: int = 512,
-    small_span: int = 16,
-    broad_cap: int = 128,
+    tile_h: int = DEFAULT_RASTER_OPTS["tile_h"],
+    tile_w: int = DEFAULT_RASTER_OPTS["tile_w"],
+    capacity: int = DEFAULT_RASTER_OPTS["capacity"],
+    small_span: int = DEFAULT_RASTER_OPTS["small_span"],
+    broad_cap: int = DEFAULT_RASTER_OPTS["broad_cap"],
     bilinear: bool | int = False,
     with_phong: bool = True,
     interpret: bool | None = None,
@@ -874,6 +908,11 @@ def render_fused(
     if use_ybounds is None:
         use_ybounds = tile_h > 8
     use_ybounds = use_ybounds and tile_h > 8
+    # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
+    # [smalls by id][broads by id], so the cheap slot tie-break only equals
+    # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
+    # carries the id channel. Y-sorted bins always need the id channel.
+    tie_by_id = use_ybounds or broad_cap > 0
     if batch_rows is None:
         # Wider shading batches amortize per-batch fixed costs (segment loads,
         # tap-range reductions); 32 rows is the measured plateau. min(32,
@@ -881,6 +920,9 @@ def render_fused(
         batch_rows = min(32, tile_h)
     # Snap to a batch that tiles n_pix exactly (handles tile_w != 128 too).
     n_pix_ = tile_h * tile_w
+    assert n_pix_ % 128 == 0, (
+        f"tile {tile_h}x{tile_w} = {n_pix_} px must be a multiple of 128 "
+        f"(VPU lanes); pick a lane-aligned tile shape")
     batch_rows = max(1, min(batch_rows, n_pix_ // 128))
     while n_pix_ % (batch_rows * 128):
         batch_rows //= 2
@@ -927,6 +969,6 @@ def render_fused(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, sampling, with_phong,
         interpret, chunk, skip_shading, cols, layout, use_ybounds,
-        bins.slab_bounds, batch_rows,
+        bins.slab_bounds, batch_rows, tie_by_id,
     )
     return z, src, bins.overflow + compact_dropped

@@ -351,3 +351,46 @@ def test_fused_broad_plus_small_y_sorted_matches_ref():
     assert np.array_equal(
         np.asarray(pack_srgb_u8(a.color)), np.asarray(pack_srgb_u8(b.color))
     )
+
+
+def test_fused_tri_sorted_depth_tie_broad_vs_small():
+    """Depth-tie contract on the TRI-SORTED path (use_ybounds=False) with
+    broad triangles present: a z-tie between a small triangle and a lower-id
+    BROAD triangle must pick the broad one (min id, FORMULAS.md) — the bins
+    order [smalls][broads], so a bin-SLOT tie-break would wrongly pick the
+    small triangle (advisor finding, round 2)."""
+    import dtrenderer_tpu.models.mesh as meshlib
+
+    # Identity view_proj; all vertices at z_ndc=-1 -> screen z is EXACTLY 0
+    # for every covered pixel of both triangles (b*0 == 0), so they tie
+    # everywhere they overlap. Triangle 0 spans the whole frame (broad at
+    # small_span=2); triangle 1 covers a small patch. UVs send tri 0 to the
+    # red half and tri 1 to the blue half of a 1x2 texture.
+    verts = np.array([
+        [-3.0, -3.0, -1.0], [3.0, -3.0, -1.0], [0.0, 3.0, -1.0],   # broad
+        [-0.1, -0.05, -1.0], [0.1, -0.05, -1.0], [0.0, 0.05, -1.0],  # small
+    ], np.float32)
+    uv = np.array([[0.25, 0.5]] * 3 + [[0.75, 0.5]] * 3, np.float32)
+    mesh = meshlib.make_mesh(verts, uv)
+    tex = jnp.asarray(
+        np.array([[[1, 0, 0, 1], [0, 0, 1, 1]]], np.float32))  # red | blue
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def run(backend):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0, 0, 0, 1], jnp.float32))
+        opts = None
+        if backend == "fused":
+            opts = dict(tile_h=8, capacity=128, small_span=2, broad_cap=128)
+        return draw_mesh(fb, mesh, eye, eye, texture=tex, shading="none",
+                         sampling_mode="nearest", backend=backend,
+                         cull_backfaces=False, near_clip=False,
+                         raster_opts=opts)
+
+    a, b = run("ref"), run("fused")
+    ca, cb = np.asarray(a.color), np.asarray(b.color)
+    # the small triangle's patch must be RED in both (broad id 0 wins the tie)
+    cy, cx = H // 2, W // 2
+    assert ca[cy, cx, 0] == 1.0 and ca[cy, cx, 2] == 0.0, "ref must pick id 0"
+    assert np.array_equal(ca, cb)
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
