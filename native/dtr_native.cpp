@@ -3,15 +3,18 @@
 // Native counterpart of the reference's C/C++ asset path (SURVEY.md §2 #5, #8:
 // hand-written Wavefront OBJ text parser and stb_image-based bitmap decoding).
 // Implemented from scratch: OBJ tokenizer/parser, BMP (24/32 uncompressed),
-// TGA (types 2/3/10, incl. RLE), PNG (non-interlaced, 8-bit depth, all color
-// types), and the DEFLATE/zlib inflate underneath it (RFC 1950/1951: stored +
-// fixed-Huffman + dynamic-Huffman blocks, adler32-verified — no zlib
-// dependency). Exposed through a plain C ABI consumed with ctypes
-// (assets/native.py) — no pybind dependency.
+// TGA (types 2/3/10, incl. RLE), PNG (all color types, bit depths 1/2/4/8/16,
+// non-interlaced + Adam7 interlaced), baseline JPEG (Huffman entropy decode,
+// fixed-point Loeffler IDCT, restart markers, libjpeg-compatible fancy chroma
+// upsampling, YCbCr->RGB), and the DEFLATE/zlib inflate underneath PNG
+// (RFC 1950/1951: stored + fixed-Huffman + dynamic-Huffman blocks,
+// adler32-verified — no zlib dependency). Exposed through a plain C ABI
+// consumed with ctypes (assets/native.py) — no pybind dependency.
 //
 // Build: make -C native   ->  native/libdtr_native.so
 
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -556,7 +559,9 @@ static bool zlib_decompress(const uint8_t* d, size_t n,
 
 }  // namespace dtr_inflate
 
-// ---- PNG (non-interlaced, bit depth 8; gray/gray+a/rgb/rgba/palette) ----
+// ---- PNG: all color types, bit depths 1/2/4/8/16, interlace 0 + Adam7 ----
+// (stb_image parity, SURVEY.md §2 #8; 16-bit samples scale to 8-bit output
+// by taking the high byte, matching stbi_load's 8-bit conversion.)
 static uint32_t be32(const uint8_t* p) {
   return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) | ((uint32_t)p[2] << 8) |
          p[3];
@@ -570,19 +575,126 @@ static int paeth(int a, int b, int c) {
   return c;
 }
 
+struct PngState {
+  uint32_t w = 0, h = 0;
+  uint8_t depth = 0, ctype = 0;
+  int ch = 0;           // samples per pixel
+  uint8_t palette[256][3];
+  uint8_t trans[256];
+  int n_pal = 0;
+};
+
+// Read sample s (0..ch-1) of pixel x from a de-filtered scanline.
+static inline int png_sample(const PngState& st, const uint8_t* row,
+                             uint32_t x, int s) {
+  int idx = (int)x * st.ch + s;
+  switch (st.depth) {
+    case 16: return row[idx * 2];  // high byte == stb's 16->8 scaling
+    case 8: return row[idx];
+    default: {  // 1/2/4-bit packed MSB-first
+      int bits = st.depth;
+      int bit = idx * bits;
+      int v = (row[bit >> 3] >> (8 - bits - (bit & 7))) & ((1 << bits) - 1);
+      return v;
+    }
+  }
+}
+
+// Scale a sub-byte gray sample to 8 bits (identity at depth >= 8).
+static inline int png_scale8(const PngState& st, int v) {
+  switch (st.depth) {
+    case 1: return v * 255;
+    case 2: return v * 85;
+    case 4: return v * 17;
+    default: return v;
+  }
+}
+
+static void png_emit_pixel(const PngState& st, const uint8_t* row, uint32_t x,
+                           uint8_t* out) {
+  switch (st.ctype) {
+    case 0: {  // gray
+      int g = png_scale8(st, png_sample(st, row, x, 0));
+      out[0] = out[1] = out[2] = (uint8_t)g;
+      out[3] = 255;
+      break;
+    }
+    case 2:  // rgb
+      out[0] = (uint8_t)png_sample(st, row, x, 0);
+      out[1] = (uint8_t)png_sample(st, row, x, 1);
+      out[2] = (uint8_t)png_sample(st, row, x, 2);
+      out[3] = 255;
+      break;
+    case 3: {  // palette (index is NOT scaled)
+      int idx = png_sample(st, row, x, 0);
+      int pi = idx < st.n_pal ? idx : 0;
+      out[0] = st.palette[pi][0];
+      out[1] = st.palette[pi][1];
+      out[2] = st.palette[pi][2];
+      out[3] = idx < 256 ? st.trans[idx] : 255;
+      break;
+    }
+    case 4: {  // gray + alpha
+      int g = png_scale8(st, png_sample(st, row, x, 0));
+      out[0] = out[1] = out[2] = (uint8_t)g;
+      out[3] = (uint8_t)png_sample(st, row, x, 1);
+      break;
+    }
+    case 6:  // rgba
+      out[0] = (uint8_t)png_sample(st, row, x, 0);
+      out[1] = (uint8_t)png_sample(st, row, x, 1);
+      out[2] = (uint8_t)png_sample(st, row, x, 2);
+      out[3] = (uint8_t)png_sample(st, row, x, 3);
+      break;
+  }
+}
+
+// De-filter `ph` scanlines of `stride` bytes starting at raw (each prefixed by
+// a filter byte); filter distance = whole-pixel bytes (>= 1). Returns false on
+// a bad filter id. Output: pix (ph * stride bytes).
+static bool png_unfilter(const uint8_t* raw, uint32_t ph, size_t stride,
+                         int fdist, std::vector<uint8_t>& pix) {
+  pix.resize(stride * ph);
+  for (uint32_t y = 0; y < ph; y++) {
+    uint8_t filt = raw[(stride + 1) * y];
+    const uint8_t* src = raw + (stride + 1) * y + 1;
+    uint8_t* cur = &pix[stride * y];
+    const uint8_t* up = y > 0 ? &pix[stride * (y - 1)] : nullptr;
+    for (size_t x = 0; x < stride; x++) {
+      int a = x >= (size_t)fdist ? cur[x - fdist] : 0;
+      int b = up ? up[x] : 0;
+      int c = (up && x >= (size_t)fdist) ? up[x - fdist] : 0;
+      int v = src[x];
+      switch (filt) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return false;
+      }
+      cur[x] = (uint8_t)v;
+    }
+  }
+  return true;
+}
+
+// Adam7 pass geometry (x origin, y origin, x step, y step).
+static const int ADAM7[7][4] = {
+    {0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8}, {2, 0, 4, 4},
+    {0, 2, 2, 4}, {1, 0, 2, 2}, {0, 1, 1, 2},
+};
+
 static void decode_png(const uint8_t* d, int64_t n, DtrImage* im) {
   static const uint8_t MAGIC[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (n < 8 || memcmp(d, MAGIC, 8) != 0) { img_err(im, "png: bad magic"); return; }
   const uint8_t* p = d + 8;
   const uint8_t* end = d + n;
 
-  uint32_t w = 0, h = 0;
-  uint8_t depth = 0, ctype = 0, interlace = 0;
+  PngState st;
+  uint8_t interlace = 0;
   std::vector<uint8_t> idat;
-  uint8_t palette[256][3];
-  uint8_t trans[256];
-  int n_pal = 0;
-  memset(trans, 255, sizeof(trans));
+  memset(st.trans, 255, sizeof(st.trans));
 
   while (p + 8 <= end) {
     uint32_t len = be32(p);
@@ -591,18 +703,18 @@ static void decode_png(const uint8_t* d, int64_t n, DtrImage* im) {
     if (data + len + 4 > end) { img_err(im, "png: truncated chunk"); return; }
     if (!memcmp(tag, "IHDR", 4)) {
       if (len < 13) { img_err(im, "png: bad IHDR"); return; }
-      w = be32(data);
-      h = be32(data + 4);
-      depth = data[8];
-      ctype = data[9];
+      st.w = be32(data);
+      st.h = be32(data + 4);
+      st.depth = data[8];
+      st.ctype = data[9];
       interlace = data[12];
     } else if (!memcmp(tag, "PLTE", 4)) {
-      n_pal = (int)(len / 3);
-      if (n_pal > 256) n_pal = 256;
-      memcpy(palette, data, (size_t)n_pal * 3);
+      st.n_pal = (int)(len / 3);
+      if (st.n_pal > 256) st.n_pal = 256;
+      memcpy(st.palette, data, (size_t)st.n_pal * 3);
     } else if (!memcmp(tag, "tRNS", 4)) {
-      if (ctype == 3) {
-        for (uint32_t i = 0; i < len && i < 256; i++) trans[i] = data[i];
+      if (st.ctype == 3) {
+        for (uint32_t i = 0; i < len && i < 256; i++) st.trans[i] = data[i];
       }
     } else if (!memcmp(tag, "IDAT", 4)) {
       idat.insert(idat.end(), data, data + len);
@@ -611,93 +723,630 @@ static void decode_png(const uint8_t* d, int64_t n, DtrImage* im) {
     }
     p = data + len + 4;  // skip crc
   }
-  if (w == 0 || h == 0) { img_err(im, "png: no IHDR"); return; }
-  if (interlace) { img_err(im, "png: interlaced not supported"); return; }
-  if (depth != 8) { img_err(im, "png: only 8-bit depth supported"); return; }
-  int ch;
-  switch (ctype) {
-    case 0: ch = 1; break;  // gray
-    case 2: ch = 3; break;  // rgb
-    case 3: ch = 1; break;  // palette
-    case 4: ch = 2; break;  // gray+alpha
-    case 6: ch = 4; break;  // rgba
+  if (st.w == 0 || st.h == 0) { img_err(im, "png: no IHDR"); return; }
+  if (interlace > 1) { img_err(im, "png: bad interlace"); return; }
+  switch (st.ctype) {
+    case 0: st.ch = 1; break;  // gray
+    case 2: st.ch = 3; break;  // rgb
+    case 3: st.ch = 1; break;  // palette
+    case 4: st.ch = 2; break;  // gray+alpha
+    case 6: st.ch = 4; break;  // rgba
     default: img_err(im, "png: bad color type"); return;
   }
+  bool depth_ok = st.depth == 8 || st.depth == 16 ||
+                  ((st.depth == 1 || st.depth == 2 || st.depth == 4) &&
+                   (st.ctype == 0 || st.ctype == 3));
+  if (!depth_ok) { img_err(im, "png: bad bit depth"); return; }
+  uint32_t w = st.w, h = st.h;
   if ((uint64_t)w * h > (uint64_t)1 << 30) { img_err(im, "png: too large"); return; }
 
-  size_t stride = (size_t)w * ch;
-  std::vector<uint8_t> raw;
-  if (!dtr_inflate::zlib_decompress(idat.data(), idat.size(), raw,
-                                    (stride + 1) * h)) {
-    img_err(im, "png: inflate failed");
-    return;
+  auto stride_of = [&](uint32_t pw) -> size_t {
+    return ((size_t)pw * st.ch * st.depth + 7) / 8;
+  };
+  int fdist = (st.ch * st.depth + 7) / 8;  // filter distance: whole-pixel bytes
+
+  // Expected decompressed size: each pass scanline carries a filter byte.
+  size_t expect = 0;
+  if (!interlace) {
+    expect = (stride_of(w) + 1) * h;
+  } else {
+    for (int pass = 0; pass < 7; pass++) {
+      uint32_t pw = (w - ADAM7[pass][0] + ADAM7[pass][2] - 1) / ADAM7[pass][2];
+      uint32_t ph = (h - ADAM7[pass][1] + ADAM7[pass][3] - 1) / ADAM7[pass][3];
+      if ((int64_t)w <= ADAM7[pass][0]) pw = 0;
+      if ((int64_t)h <= ADAM7[pass][1]) ph = 0;
+      if (pw && ph) expect += (stride_of(pw) + 1) * ph;
+    }
   }
 
-  // Unfilter in place into a contiguous pixel buffer.
-  std::vector<uint8_t> pix(stride * h);
-  for (uint32_t y = 0; y < h; y++) {
-    uint8_t filt = raw[(stride + 1) * y];
-    const uint8_t* src = &raw[(stride + 1) * y + 1];
-    uint8_t* cur = &pix[stride * y];
-    const uint8_t* up = y > 0 ? &pix[stride * (y - 1)] : nullptr;
-    for (size_t x = 0; x < stride; x++) {
-      int a = x >= (size_t)ch ? cur[x - ch] : 0;
-      int b = up ? up[x] : 0;
-      int c = (up && x >= (size_t)ch) ? up[x - ch] : 0;
-      int v = src[x];
-      switch (filt) {
-        case 0: break;
-        case 1: v += a; break;
-        case 2: v += b; break;
-        case 3: v += (a + b) / 2; break;
-        case 4: v += paeth(a, b, c); break;
-        default: img_err(im, "png: bad filter"); return;
-      }
-      cur[x] = (uint8_t)v;
-    }
+  std::vector<uint8_t> raw;
+  if (!dtr_inflate::zlib_decompress(idat.data(), idat.size(), raw, expect)) {
+    img_err(im, "png: inflate failed");
+    return;
   }
 
   im->width = (int32_t)w;
   im->height = (int32_t)h;
   im->pixels = (uint8_t*)malloc((size_t)w * h * 4);
-  for (uint32_t y = 0; y < h; y++) {
-    const uint8_t* row = &pix[stride * y];
-    uint8_t* out = im->pixels + (size_t)y * w * 4;
-    for (uint32_t x = 0; x < w; x++) {
-      const uint8_t* px = row + (size_t)x * ch;
-      switch (ctype) {
-        case 0:
-          out[x * 4 + 0] = out[x * 4 + 1] = out[x * 4 + 2] = px[0];
-          out[x * 4 + 3] = 255;
-          break;
-        case 2:
-          out[x * 4 + 0] = px[0];
-          out[x * 4 + 1] = px[1];
-          out[x * 4 + 2] = px[2];
-          out[x * 4 + 3] = 255;
-          break;
-        case 3: {
-          int idx = px[0] < n_pal ? px[0] : 0;
-          out[x * 4 + 0] = palette[idx][0];
-          out[x * 4 + 1] = palette[idx][1];
-          out[x * 4 + 2] = palette[idx][2];
-          out[x * 4 + 3] = trans[px[0]];
-          break;
+
+  std::vector<uint8_t> pix;
+  if (!interlace) {
+    if (!png_unfilter(raw.data(), h, stride_of(w), fdist, pix)) {
+      img_err(im, "png: bad filter");
+      return;
+    }
+    for (uint32_t y = 0; y < h; y++) {
+      const uint8_t* row = &pix[stride_of(w) * y];
+      uint8_t* out = im->pixels + (size_t)y * w * 4;
+      for (uint32_t x = 0; x < w; x++) png_emit_pixel(st, row, x, out + x * 4);
+    }
+  } else {  // Adam7: de-filter each pass independently, splat to final grid
+    size_t off = 0;
+    for (int pass = 0; pass < 7; pass++) {
+      int x0 = ADAM7[pass][0], y0 = ADAM7[pass][1];
+      int dx = ADAM7[pass][2], dy = ADAM7[pass][3];
+      if ((int64_t)w <= x0 || (int64_t)h <= y0) continue;
+      uint32_t pw = (w - x0 + dx - 1) / dx;
+      uint32_t ph = (h - y0 + dy - 1) / dy;
+      if (!pw || !ph) continue;
+      size_t pstride = stride_of(pw);
+      if (!png_unfilter(raw.data() + off, ph, pstride, fdist, pix)) {
+        img_err(im, "png: bad filter");
+        return;
+      }
+      off += (pstride + 1) * ph;
+      for (uint32_t j = 0; j < ph; j++) {
+        const uint8_t* row = &pix[pstride * j];
+        for (uint32_t i = 0; i < pw; i++) {
+          uint32_t x = (uint32_t)x0 + i * dx;
+          uint32_t y = (uint32_t)y0 + j * dy;
+          png_emit_pixel(st, row, i,
+                         im->pixels + ((size_t)y * w + x) * 4);
         }
-        case 4:
-          out[x * 4 + 0] = out[x * 4 + 1] = out[x * 4 + 2] = px[0];
-          out[x * 4 + 3] = px[1];
-          break;
-        case 6:
-          out[x * 4 + 0] = px[0];
-          out[x * 4 + 1] = px[1];
-          out[x * 4 + 2] = px[2];
-          out[x * 4 + 3] = px[3];
-          break;
       }
     }
   }
 }
+
+// ---- JPEG (baseline + extended-sequential JFIF, from scratch) ----
+// stb_image parity for the reference's stbi_load JPG path (SURVEY.md §2 #8):
+// marker parse, Huffman entropy decode (DC diff + AC run-length), dequant,
+// float IDCT, restart markers, fancy (triangle-filter) 2x chroma upsampling,
+// YCbCr->RGB. Progressive JPEG is rejected with a clear error.
+namespace dtr_jpeg {
+
+struct JHuff {
+  uint16_t count[17] = {0};  // codes per bit length 1..16
+  uint8_t sym[256];          // symbols in (length, order) sequence
+  bool ok = false;
+};
+
+struct JBits {
+  const uint8_t* d;
+  size_t n, pos;
+  uint32_t buf = 0;
+  int cnt = 0;
+  bool fail = false;
+  uint8_t marker = 0;  // set when a non-RST marker interrupts entropy data
+
+  void fill() {
+    while (cnt <= 24) {
+      uint8_t b = 0;  // pad with zeros at EOF / at a marker
+      if (pos < n) {
+        uint8_t raw = d[pos];
+        if (raw == 0xFF) {
+          if (pos + 1 < n && d[pos + 1] == 0x00) {  // stuffed FF -> literal FF
+            pos += 2;
+            b = 0xFF;
+          } else {  // real marker: stop consuming
+            marker = pos + 1 < n ? d[pos + 1] : 0xD9;
+          }
+        } else {
+          pos++;
+          b = raw;
+        }
+      }
+      buf = (buf << 8) | b;
+      cnt += 8;
+    }
+  }
+  int bits(int k) {  // MSB-first
+    if (k == 0) return 0;
+    fill();
+    int v = (int)((buf >> (cnt - k)) & ((1u << k) - 1));
+    cnt -= k;
+    return v;
+  }
+  void align() { cnt -= cnt & 7; }
+};
+
+static int jhuff_decode(JBits& br, const JHuff& h) {
+  int code = 0, first = 0, index = 0;
+  for (int len = 1; len <= 16; len++) {
+    code |= br.bits(1);
+    int cnt = h.count[len];
+    if (code - first < cnt) return h.sym[index + (code - first)];
+    index += cnt;
+    first = (first + cnt) << 1;
+    code <<= 1;
+  }
+  return -1;
+}
+
+// JPEG "extend": v in [0, 2^t) decoded from t bits -> signed coefficient.
+static inline int jextend(int v, int t) {
+  return (t && v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+static const uint8_t ZIGZAG[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// Fixed-point scaled-integer IDCT: the Loeffler-Ligtenberg-Moshovitz
+// algorithm with 13-bit constants — the same algorithm family as libjpeg's
+// "islow" path, so output matches common decoders to <= 1 LSB (the standard's
+// accuracy requirement). CONST_BITS=13, PASS1_BITS=2.
+namespace jidct_detail {
+constexpr int CONST_BITS = 13, PASS1_BITS = 2;
+constexpr int32_t F_0_298631336 = 2446, F_0_390180644 = 3196,
+                  F_0_541196100 = 4433, F_0_765366865 = 6270,
+                  F_0_899976223 = 7373, F_1_175875602 = 9633,
+                  F_1_501321110 = 12299, F_1_847759065 = 15137,
+                  F_1_961570560 = 16069, F_2_053119869 = 16819,
+                  F_2_562915447 = 20995, F_3_072711026 = 25172;
+static inline int64_t DESCALE(int64_t x, int n) {
+  return (x + ((int64_t)1 << (n - 1))) >> n;
+}
+}  // namespace jidct_detail
+
+static void jidct(const int in[64], uint8_t* out, int out_stride) {
+  using namespace jidct_detail;
+  int64_t ws[64];
+  // pass 1: columns, keep PASS1_BITS of extra precision
+  for (int c = 0; c < 8; c++) {
+    const int* col = in + c;
+    int64_t* wsp = ws + c;
+    // even part
+    int64_t z2 = col[2 * 8], z3 = col[6 * 8];
+    int64_t z1 = (z2 + z3) * F_0_541196100;
+    int64_t tmp2 = z1 + z3 * (-F_1_847759065);
+    int64_t tmp3 = z1 + z2 * F_0_765366865;
+    z2 = col[0 * 8];
+    z3 = col[4 * 8];
+    int64_t tmp0 = (z2 + z3) << CONST_BITS;
+    int64_t tmp1 = (z2 - z3) << CONST_BITS;
+    int64_t t10 = tmp0 + tmp3, t13 = tmp0 - tmp3;
+    int64_t t11 = tmp1 + tmp2, t12 = tmp1 - tmp2;
+    // odd part
+    tmp0 = col[7 * 8];
+    tmp1 = col[5 * 8];
+    tmp2 = col[3 * 8];
+    tmp3 = col[1 * 8];
+    z1 = tmp0 + tmp3;
+    z2 = tmp1 + tmp2;
+    z3 = tmp0 + tmp2;
+    int64_t z4 = tmp1 + tmp3;
+    int64_t z5 = (z3 + z4) * F_1_175875602;
+    tmp0 *= F_0_298631336;
+    tmp1 *= F_2_053119869;
+    tmp2 *= F_3_072711026;
+    tmp3 *= F_1_501321110;
+    z1 *= -F_0_899976223;
+    z2 *= -F_2_562915447;
+    z3 = z3 * (-F_1_961570560) + z5;
+    z4 = z4 * (-F_0_390180644) + z5;
+    tmp0 += z1 + z3;
+    tmp1 += z2 + z4;
+    tmp2 += z2 + z3;
+    tmp3 += z1 + z4;
+    wsp[8 * 0] = DESCALE(t10 + tmp3, CONST_BITS - PASS1_BITS);
+    wsp[8 * 7] = DESCALE(t10 - tmp3, CONST_BITS - PASS1_BITS);
+    wsp[8 * 1] = DESCALE(t11 + tmp2, CONST_BITS - PASS1_BITS);
+    wsp[8 * 6] = DESCALE(t11 - tmp2, CONST_BITS - PASS1_BITS);
+    wsp[8 * 2] = DESCALE(t12 + tmp1, CONST_BITS - PASS1_BITS);
+    wsp[8 * 5] = DESCALE(t12 - tmp1, CONST_BITS - PASS1_BITS);
+    wsp[8 * 3] = DESCALE(t13 + tmp0, CONST_BITS - PASS1_BITS);
+    wsp[8 * 4] = DESCALE(t13 - tmp0, CONST_BITS - PASS1_BITS);
+  }
+  // pass 2: rows, final descale + level shift + clamp
+  for (int r = 0; r < 8; r++) {
+    const int64_t* row = ws + r * 8;
+    uint8_t* o = out + r * out_stride;
+    int64_t z2 = row[2], z3 = row[6];
+    int64_t z1 = (z2 + z3) * F_0_541196100;
+    int64_t tmp2 = z1 + z3 * (-F_1_847759065);
+    int64_t tmp3 = z1 + z2 * F_0_765366865;
+    z2 = row[0];
+    z3 = row[4];
+    int64_t tmp0 = (z2 + z3) << CONST_BITS;
+    int64_t tmp1 = (z2 - z3) << CONST_BITS;
+    int64_t t10 = tmp0 + tmp3, t13 = tmp0 - tmp3;
+    int64_t t11 = tmp1 + tmp2, t12 = tmp1 - tmp2;
+    tmp0 = row[7];
+    tmp1 = row[5];
+    tmp2 = row[3];
+    tmp3 = row[1];
+    z1 = tmp0 + tmp3;
+    z2 = tmp1 + tmp2;
+    z3 = tmp0 + tmp2;
+    int64_t z4 = tmp1 + tmp3;
+    int64_t z5 = (z3 + z4) * F_1_175875602;
+    tmp0 *= F_0_298631336;
+    tmp1 *= F_2_053119869;
+    tmp2 *= F_3_072711026;
+    tmp3 *= F_1_501321110;
+    z1 *= -F_0_899976223;
+    z2 *= -F_2_562915447;
+    z3 = z3 * (-F_1_961570560) + z5;
+    z4 = z4 * (-F_0_390180644) + z5;
+    tmp0 += z1 + z3;
+    tmp1 += z2 + z4;
+    tmp2 += z2 + z3;
+    tmp3 += z1 + z4;
+    const int fin = CONST_BITS + PASS1_BITS + 3;
+    int64_t v[8] = {
+        DESCALE(t10 + tmp3, fin), DESCALE(t11 + tmp2, fin),
+        DESCALE(t12 + tmp1, fin), DESCALE(t13 + tmp0, fin),
+        DESCALE(t13 - tmp0, fin), DESCALE(t12 - tmp1, fin),
+        DESCALE(t11 - tmp2, fin), DESCALE(t10 - tmp3, fin)};
+    for (int x = 0; x < 8; x++) {
+      int q = (int)v[x] + 128;
+      o[x] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+    }
+  }
+}
+
+struct JComp {
+  int id = 0, h = 1, v = 1, tq = 0;
+  int dc_tbl = 0, ac_tbl = 0;
+  int dc_pred = 0;
+  int bw = 0, bh = 0;            // blocks across/down (MCU-padded)
+  std::vector<uint8_t> plane;   // bw*8 x bh*8 samples
+};
+
+struct JDec {
+  uint16_t qt[4][64];  // zigzag order, as stored
+  JHuff dc[4], ac[4];
+  int w = 0, h = 0, ncomp = 0;
+  JComp comp[4];
+  int hmax = 1, vmax = 1;
+  int restart = 0;
+  const char* err = nullptr;
+};
+
+static bool jdecode_block(JBits& br, JDec& jd, JComp& c, int bx, int by) {
+  int coef[64] = {0};
+  const JHuff& hdc = jd.dc[c.dc_tbl];
+  const JHuff& hac = jd.ac[c.ac_tbl];
+  int t = jhuff_decode(br, hdc);
+  if (t < 0 || t > 15) return false;
+  int diff = jextend(br.bits(t), t);
+  c.dc_pred += diff;
+  coef[0] = c.dc_pred * jd.qt[c.tq][0];
+  int k = 1;
+  while (k < 64) {
+    int rs = jhuff_decode(br, hac);
+    if (rs < 0) return false;
+    int r = rs >> 4, s = rs & 15;
+    if (s == 0) {
+      if (r == 15) { k += 16; continue; }  // ZRL
+      break;                               // EOB
+    }
+    k += r;
+    if (k > 63) return false;
+    coef[ZIGZAG[k]] = jextend(br.bits(s), s) * jd.qt[c.tq][k];
+    k++;
+  }
+  // move DC's dezigzag (ZIGZAG[0] == 0 already) — coef is natural order now
+  uint8_t* dst = &c.plane[((size_t)by * 8) * ((size_t)c.bw * 8) + bx * 8];
+  int tmp[64];
+  for (int i = 0; i < 64; i++) tmp[i] = coef[i];
+  jidct(tmp, dst, c.bw * 8);
+  return true;
+}
+
+// Fancy (triangle-filter) 1D horizontal 2x upsample: 3/4 near + 1/4 far,
+// matching libjpeg's h2v1 weights. in: iw samples; out: 2*iw samples.
+static void jup_h2(const uint8_t* in, int iw, uint8_t* out) {
+  if (iw == 1) { out[0] = out[1] = in[0]; return; }
+  out[0] = in[0];
+  out[1] = (uint8_t)((in[0] * 3 + in[1] + 2) >> 2);
+  for (int i = 1; i < iw - 1; i++) {
+    out[2 * i] = (uint8_t)((in[i] * 3 + in[i - 1] + 1) >> 2);
+    out[2 * i + 1] = (uint8_t)((in[i] * 3 + in[i + 1] + 2) >> 2);
+  }
+  out[2 * iw - 2] = (uint8_t)((in[iw - 1] * 3 + in[iw - 2] + 1) >> 2);
+  out[2 * iw - 1] = in[iw - 1];
+}
+
+static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
+  size_t p = 2;  // past SOI
+  bool have_sof = false;
+  while (p + 4 <= n) {
+    if (d[p] != 0xFF) return "jpg: marker sync lost";
+    uint8_t m = d[p + 1];
+    p += 2;
+    if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+    if (m == 0xD9) break;  // EOI
+    if (p + 2 > n) return "jpg: truncated segment";
+    size_t len = ((size_t)d[p] << 8) | d[p + 1];
+    if (len < 2 || p + len > n) return "jpg: bad segment length";
+    const uint8_t* seg = d + p + 2;
+    size_t slen = len - 2;
+    if (m == 0xDB) {  // DQT
+      size_t q = 0;
+      while (q < slen) {
+        int pq = seg[q] >> 4, tq = seg[q] & 15;
+        if (tq > 3) return "jpg: bad DQT id";
+        q++;
+        for (int i = 0; i < 64; i++) {
+          if (pq) {
+            jd.qt[tq][i] = ((uint16_t)seg[q] << 8) | seg[q + 1];
+            q += 2;
+          } else {
+            jd.qt[tq][i] = seg[q++];
+          }
+        }
+      }
+    } else if (m == 0xC4) {  // DHT
+      size_t q = 0;
+      while (q + 17 <= slen) {
+        int tc = seg[q] >> 4, th = seg[q] & 15;
+        if (th > 3 || tc > 1) return "jpg: bad DHT id";
+        JHuff& hh = tc ? jd.ac[th] : jd.dc[th];
+        int total = 0;
+        for (int i = 1; i <= 16; i++) {
+          hh.count[i] = seg[q + i];
+          total += hh.count[i];
+        }
+        q += 17;
+        if (total > 256 || q + total > slen) return "jpg: bad DHT";
+        for (int i = 0; i < total; i++) hh.sym[i] = seg[q + i];
+        q += total;
+        hh.ok = true;
+      }
+    } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline/ext sequential
+      if (have_sof) return "jpg: multiple SOF";
+      have_sof = true;
+      if (slen < 6) return "jpg: bad SOF";
+      if (seg[0] != 8) return "jpg: only 8-bit precision";
+      jd.h = ((int)seg[1] << 8) | seg[2];
+      jd.w = ((int)seg[3] << 8) | seg[4];
+      jd.ncomp = seg[5];
+      if (jd.w <= 0 || jd.h <= 0) return "jpg: bad dims";
+      if (jd.ncomp != 1 && jd.ncomp != 3) return "jpg: 1 or 3 components only";
+      if (slen < 6 + (size_t)jd.ncomp * 3) return "jpg: bad SOF";
+      for (int i = 0; i < jd.ncomp; i++) {
+        JComp& c = jd.comp[i];
+        c.id = seg[6 + i * 3];
+        c.h = seg[7 + i * 3] >> 4;
+        c.v = seg[7 + i * 3] & 15;
+        c.tq = seg[8 + i * 3];
+        if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3)
+          return "jpg: bad sampling";
+        if (c.h > jd.hmax) jd.hmax = c.h;
+        if (c.v > jd.vmax) jd.vmax = c.v;
+      }
+    } else if (m == 0xC2) {
+      return "jpg: progressive not supported";
+    } else if (m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+      return "jpg: unsupported SOF type";
+    } else if (m == 0xDD) {  // DRI
+      if (slen < 4) return "jpg: bad DRI";
+      jd.restart = ((int)seg[0] << 8) | seg[1];
+    } else if (m == 0xDA) {  // SOS — decode entropy data
+      if (!have_sof) return "jpg: SOS before SOF";
+      int ns = seg[0];
+      if (ns != jd.ncomp && ns != 1) return "jpg: partial scans unsupported";
+      JComp* scomp[4];
+      for (int i = 0; i < ns; i++) {
+        int cid = seg[1 + i * 2];
+        int tt = seg[2 + i * 2];
+        JComp* c = nullptr;
+        for (int j = 0; j < jd.ncomp; j++)
+          if (jd.comp[j].id == cid) c = &jd.comp[j];
+        if (!c) return "jpg: SOS refers to unknown component";
+        c->dc_tbl = tt >> 4;
+        c->ac_tbl = tt & 15;
+        if (c->dc_tbl > 3 || c->ac_tbl > 3 || !jd.dc[c->dc_tbl].ok ||
+            !jd.ac[c->ac_tbl].ok)
+          return "jpg: missing Huffman table";
+        scomp[i] = c;
+      }
+      int mcux, mcuy;
+      if (ns == 1) {
+        JComp& c = *scomp[0];
+        int cw = (jd.w * c.h + jd.hmax - 1) / jd.hmax;
+        int ch2 = (jd.h * c.v + jd.vmax - 1) / jd.vmax;
+        c.bw = (cw + 7) / 8;
+        c.bh = (ch2 + 7) / 8;
+        c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+        mcux = c.bw;
+        mcuy = c.bh;
+      } else {
+        mcux = (jd.w + 8 * jd.hmax - 1) / (8 * jd.hmax);
+        mcuy = (jd.h + 8 * jd.vmax - 1) / (8 * jd.vmax);
+        for (int i = 0; i < ns; i++) {
+          JComp& c = *scomp[i];
+          c.bw = mcux * c.h;
+          c.bh = mcuy * c.v;
+          c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+        }
+      }
+      JBits br{d + p + len, n - p - len, 0};
+      int mcus = 0;
+      for (int my = 0; my < mcuy; my++) {
+        for (int mx = 0; mx < mcux; mx++) {
+          if (jd.restart && mcus && mcus % jd.restart == 0) {
+            br.align();
+            // expect RSTn in the entropy stream
+            br.buf = 0;
+            br.cnt = 0;
+            while (br.pos + 1 < br.n && !(d[p + len + br.pos] == 0xFF &&
+                                          d[p + len + br.pos + 1] >= 0xD0 &&
+                                          d[p + len + br.pos + 1] <= 0xD7))
+              br.pos++;
+            if (br.pos + 1 < br.n) br.pos += 2;
+            br.marker = 0;
+            for (int i = 0; i < ns; i++) scomp[i]->dc_pred = 0;
+          }
+          if (ns == 1) {
+            if (!jdecode_block(br, jd, *scomp[0], mx, my))
+              return "jpg: entropy decode failed";
+          } else {
+            for (int i = 0; i < ns; i++) {
+              JComp& c = *scomp[i];
+              for (int v = 0; v < c.v; v++)
+                for (int hh = 0; hh < c.h; hh++)
+                  if (!jdecode_block(br, jd, c, mx * c.h + hh, my * c.v + v))
+                    return "jpg: entropy decode failed";
+            }
+          }
+          mcus++;
+        }
+      }
+      return nullptr;  // single-scan baseline: done after SOS
+    }
+    p += len;
+  }
+  return "jpg: no SOS";
+}
+
+// Upsample component c to full (w, h) resolution. Fancy triangle filter for
+// the common 2x factors (libjpeg/stb behavior), pixel replication otherwise.
+static void jupsample(const JDec& jd, const JComp& c, std::vector<uint8_t>& out,
+                      int w, int h) {
+  out.resize((size_t)w * h);
+  int sw = c.bw * 8;  // source plane stride
+  int cw = (jd.w * c.h + jd.hmax - 1) / jd.hmax;   // meaningful source dims
+  int ch2 = (jd.h * c.v + jd.vmax - 1) / jd.vmax;
+  int fx = jd.hmax / c.h, fy = jd.vmax / c.v;
+  bool exact2x = (fx == 1 || fx == 2) && (fy == 1 || fy == 2) &&
+                 fx * c.h == jd.hmax && fy * c.v == jd.vmax;
+  if (!exact2x || (fx == 1 && fy == 1)) {
+    // replication (or direct copy)
+    for (int y = 0; y < h; y++) {
+      int sy = y * c.v / jd.vmax;
+      if (sy >= ch2) sy = ch2 - 1;
+      const uint8_t* src = &c.plane[(size_t)sy * sw];
+      uint8_t* dst = &out[(size_t)y * w];
+      if (fx == 1 && exact2x) {
+        memcpy(dst, src, (size_t)(w < cw ? w : cw));
+        for (int x = cw; x < w; x++) dst[x] = src[cw - 1];
+      } else {
+        for (int x = 0; x < w; x++) {
+          int sx = x * c.h / jd.hmax;
+          dst[x] = src[sx < cw ? sx : cw - 1];
+        }
+      }
+    }
+    return;
+  }
+  // triangle-filter paths (3/4 near + 1/4 far), libjpeg-compatible rounding
+  std::vector<int> colsum(cw);
+  std::vector<uint8_t> hrow((size_t)cw * 2);
+  for (int y = 0; y < h; y++) {
+    uint8_t* dst = &out[(size_t)y * w];
+    if (fy == 2 && fx == 2) {
+      // h2v2: keep the 12-bit vertical sums through the horizontal pass
+      // (descaling between passes loses the LSBs libjpeg keeps).
+      int sy = y >> 1;
+      if (sy >= ch2) sy = ch2 - 1;
+      int other = (y & 1) ? sy + 1 : sy - 1;
+      if (other < 0) other = 0;
+      if (other >= ch2) other = ch2 - 1;
+      const uint8_t* near_ = &c.plane[(size_t)sy * sw];
+      const uint8_t* far_ = &c.plane[(size_t)other * sw];
+      for (int x = 0; x < cw; x++) colsum[x] = near_[x] * 3 + far_[x];
+      auto emit = [&](int xo, int v) {
+        if (xo < w) dst[xo] = (uint8_t)v;
+      };
+      emit(0, (colsum[0] * 4 + 8) >> 4);
+      for (int x = 0; x < cw; x++) {
+        if (x > 0) emit(2 * x, (colsum[x] * 3 + colsum[x - 1] + 8) >> 4);
+        if (x + 1 < cw)
+          emit(2 * x + 1, (colsum[x] * 3 + colsum[x + 1] + 7) >> 4);
+        else
+          emit(2 * x + 1, (colsum[x] * 4 + 7) >> 4);
+      }
+      for (int x = cw * 2; x < w; x++) dst[x] = dst[cw * 2 - 1];
+      continue;
+    }
+    const uint8_t* row;
+    std::vector<uint8_t> vrow(cw);
+    if (fy == 1) {
+      int sy = y < ch2 ? y : ch2 - 1;
+      row = &c.plane[(size_t)sy * sw];
+    } else {  // h1v2
+      int sy = y >> 1;
+      if (sy >= ch2) sy = ch2 - 1;
+      int other = (y & 1) ? sy + 1 : sy - 1;
+      if (other < 0) other = 0;
+      if (other >= ch2) other = ch2 - 1;
+      const uint8_t* near_ = &c.plane[(size_t)sy * sw];
+      const uint8_t* far_ = &c.plane[(size_t)other * sw];
+      for (int x = 0; x < cw; x++)
+        vrow[x] = (uint8_t)((near_[x] * 3 + far_[x] + ((y & 1) ? 2 : 1)) >> 2);
+      row = vrow.data();
+    }
+    if (fx == 1) {
+      memcpy(dst, row, (size_t)(w < cw ? w : cw));
+      for (int x = cw; x < w; x++) dst[x] = row[cw - 1];
+    } else {  // h2v1
+      jup_h2(row, cw, hrow.data());
+      for (int x = 0; x < w; x++)
+        dst[x] = hrow[x < cw * 2 ? x : cw * 2 - 1];
+    }
+  }
+}
+
+static void decode_jpeg(const uint8_t* d, int64_t n, DtrImage* im) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) {
+    img_err(im, "jpg: bad magic");
+    return;
+  }
+  JDec jd;
+  const char* err = jparse_and_decode(d, (size_t)n, jd);
+  if (err) { img_err(im, err); return; }
+  int w = jd.w, h = jd.h;
+  im->width = w;
+  im->height = h;
+  im->pixels = (uint8_t*)malloc((size_t)w * h * 4);
+  if (jd.ncomp == 1) {
+    const JComp& c = jd.comp[0];
+    for (int y = 0; y < h; y++) {
+      const uint8_t* src = &c.plane[(size_t)y * c.bw * 8];
+      uint8_t* out = im->pixels + (size_t)y * w * 4;
+      for (int x = 0; x < w; x++) {
+        out[x * 4 + 0] = out[x * 4 + 1] = out[x * 4 + 2] = src[x];
+        out[x * 4 + 3] = 255;
+      }
+    }
+    return;
+  }
+  std::vector<uint8_t> yp, cb, cr;
+  jupsample(jd, jd.comp[0], yp, w, h);
+  jupsample(jd, jd.comp[1], cb, w, h);
+  jupsample(jd, jd.comp[2], cr, w, h);
+  for (int y = 0; y < h; y++) {
+    uint8_t* out = im->pixels + (size_t)y * w * 4;
+    for (int x = 0; x < w; x++) {
+      size_t i = (size_t)y * w + x;
+      double Y = yp[i], Cb = cb[i] - 128.0, Cr = cr[i] - 128.0;
+      int r = (int)lround(Y + 1.40200 * Cr);
+      int g = (int)lround(Y - 0.344136286 * Cb - 0.714136286 * Cr);
+      int b = (int)lround(Y + 1.77200 * Cb);
+      out[x * 4 + 0] = (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
+      out[x * 4 + 1] = (uint8_t)(g < 0 ? 0 : (g > 255 ? 255 : g));
+      out[x * 4 + 2] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+      out[x * 4 + 3] = 255;
+    }
+  }
+}
+
+}  // namespace dtr_jpeg
 
 DtrImage* dtr_image_decode(const uint8_t* data, int64_t size) {
   auto* im = (DtrImage*)calloc(1, sizeof(DtrImage));
@@ -705,6 +1354,9 @@ DtrImage* dtr_image_decode(const uint8_t* data, int64_t size) {
     decode_png(data, size, im);
   } else if (size >= 2 && data[0] == 'B' && data[1] == 'M') {
     decode_bmp(data, size, im);
+  } else if (size >= 3 && data[0] == 0xFF && data[1] == 0xD8 &&
+             data[2] == 0xFF) {
+    dtr_jpeg::decode_jpeg(data, size, im);
   } else {
     decode_tga(data, size, im);  // TGA has no magic; try last
   }

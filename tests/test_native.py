@@ -171,3 +171,180 @@ def test_png_inflate_large_multiblock(rng):
     img = _rand_rgba(rng, 150, 160)  # 96 KB raw -> >1 stored block
     got = native.decode_image_bytes(_png_with_zlib_level(img, 0))
     assert np.array_equal(got, img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — stb_image parity (SURVEY.md §2 #8)
+# ---------------------------------------------------------------------------
+
+def _test_rgb(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 / max(w, 1)), (yy * 255 / max(h, 1)),
+                    ((xx + yy) * 255 / (w + h))], -1)
+    return np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling,max_diff", [
+    (0, 1),   # 4:4:4 — color-convert .5-rounding only
+    (1, 0),   # 4:2:2 — bit-exact (fancy h2v1 upsample matches libjpeg)
+    (2, 0),   # 4:2:0 — bit-exact (full-precision h2v2 colsum path)
+])
+def test_jpg_decode_matches_pil(rng, tmp_path, subsampling, max_diff):
+    img = _test_rgb(rng, 96, 128)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(img, "RGB").save(p, quality=92, subsampling=subsampling)
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+    d = np.abs(ours.astype(int) - pil.astype(int))
+    assert d.max() <= max_diff, f"max diff {d.max()} > {max_diff}"
+
+
+def test_jpg_odd_dims_matches_pil(rng, tmp_path):
+    """Non-multiple-of-MCU dims exercise the right/bottom edge block padding."""
+    for h, w in [(97, 131), (17, 23), (8, 8), (1, 1)]:
+        img = _test_rgb(rng, h, w)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img, "RGB").save(p, quality=90, subsampling=2)
+        ours = native.decode_image_file(p)
+        pil = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+        assert np.array_equal(ours, pil), f"{h}x{w} mismatch"
+
+
+def test_jpg_grayscale_bit_exact(rng, tmp_path):
+    img = _test_rgb(rng, 40, 56)[:, :, 0]
+    p = str(tmp_path / "g.jpg")
+    Image.fromarray(img, "L").save(p, quality=90)
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+    assert np.array_equal(ours, pil)
+
+
+def test_jpg_progressive_rejected(rng, tmp_path):
+    img = _test_rgb(rng, 32, 32)
+    p = str(tmp_path / "p.jpg")
+    Image.fromarray(img, "RGB").save(p, quality=90, progressive=True)
+    with pytest.raises(IOError, match="progressive"):
+        native.decode_image_file(p)
+
+
+def test_jpg_via_load_bitmap_no_pil(tmp_path, rng):
+    """load_bitmap('x.jpg') works through the native decoder (the round-2
+    VERDICT gap: JPG silently depended on PIL)."""
+    from dtrenderer_tpu.assets.image import load_bitmap
+
+    img = _test_rgb(rng, 24, 24)
+    p = str(tmp_path / "b.jpg")
+    Image.fromarray(img, "RGB").save(p, quality=95, subsampling=0)
+    tex = np.asarray(load_bitmap(p))
+    assert tex.shape == (24, 24, 4) and tex.dtype == np.float32
+    assert np.all(tex[..., 3] == 1.0)
+
+
+# ---------------------------------------------------------------------------
+# PNG: Adam7 interlace, 16-bit, sub-byte depths (stb_image parity)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_chunk(tag, data):
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _build_png(w, h, depth, ctype, raw, plte=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _interlaced_raw(img, depth):
+    """Adam7 scanline serialization (filter 0), 8- or 16-bit samples."""
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for j in range(sub.shape[0]):
+            row = sub[j].reshape(-1)
+            raw += b"\x00" + (row.astype(">u2").tobytes() if depth == 16
+                              else row.astype(np.uint8).tobytes())
+    return raw
+
+
+def test_png_adam7_rgba_matches_pil(rng):
+    for h, w in [(33, 47), (8, 8), (1, 1), (3, 5)]:
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        png = _build_png(w, h, 8, 6, _interlaced_raw(img, 8), interlace=1)
+        ours = native.decode_image_bytes(png)
+        pil = np.asarray(Image.open(io.BytesIO(png)).convert("RGBA"))
+        assert np.array_equal(ours, img) and np.array_equal(pil, img)
+
+
+def test_png_16bit_rgb_high_byte(rng):
+    """16-bit samples scale to 8-bit by the high byte (stb's conversion)."""
+    h, w = 13, 17
+    img16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + img16[j].astype(">u2").tobytes()
+                   for j in range(h))
+    ours = native.decode_image_bytes(_build_png(w, h, 16, 2, raw))
+    truth = np.concatenate([(img16 >> 8).astype(np.uint8),
+                            np.full((h, w, 1), 255, np.uint8)], -1)
+    assert np.array_equal(ours, truth)
+
+
+def test_png_adam7_16bit_gray(rng):
+    h, w = 21, 14
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    png = _build_png(w, h, 16, 0, _interlaced_raw(g16[..., None], 16),
+                     interlace=1)
+    ours = native.decode_image_bytes(png)
+    g8 = (g16 >> 8).astype(np.uint8)
+    truth = np.stack([g8] * 3 + [np.full((h, w), 255, np.uint8)], -1)
+    assert np.array_equal(ours, truth)
+
+
+def test_png_4bit_palette_matches_pil(rng):
+    h, w = 9, 11
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+    def pack4(row):
+        out = bytearray()
+        for i in range(0, len(row), 2):
+            out.append(int(row[i]) << 4
+                       | (int(row[i + 1]) if i + 1 < len(row) else 0))
+        return bytes(out)
+
+    raw = b"".join(b"\x00" + pack4(idx[j]) for j in range(h))
+    png = _build_png(w, h, 4, 3, raw, plte=plte.tobytes())
+    ours = native.decode_image_bytes(png)
+    pil = np.asarray(Image.open(io.BytesIO(png)).convert("RGBA"))
+    assert np.array_equal(ours, pil)
+
+
+def test_png_1bit_gray_matches_pil(rng):
+    h, w = 7, 19
+    g = rng.integers(0, 2, (h, w), dtype=np.uint8)
+
+    def pack1(row):
+        out = bytearray()
+        for i in range(0, len(row), 8):
+            b = 0
+            for k, v in enumerate(row[i:i + 8]):
+                b |= int(v) << (7 - k)
+            out.append(b)
+        return bytes(out)
+
+    raw = b"".join(b"\x00" + pack1(g[j]) for j in range(h))
+    png = _build_png(w, h, 1, 0, raw)
+    ours = native.decode_image_bytes(png)
+    pil = np.asarray(Image.open(io.BytesIO(png)).convert("RGBA"))
+    assert np.array_equal(ours, pil)
