@@ -35,6 +35,58 @@ def _render_cases():
         color, _ = jax.jit(spec.frame)(fb0.color, fb0.depth, jnp.float32(0.6))
         yield spec.name, np.asarray(pack_srgb_u8(color))
 
+    # Configs 4 & 5: small deterministic variants on the PRODUCTION (fused)
+    # backend — the two hardest configs get image locks too (round-2 VERDICT
+    # gap: they only had smoke/coverage checks).
+    spec4 = scenes.ALL_CONFIGS[4](width=160, height=120, backend="fused")
+    fb0 = fblib.create(spec4.height, spec4.width)
+    color, _ = jax.jit(spec4.frame)(fb0.color, fb0.depth, jnp.float32(0.6))
+    yield spec4.name, np.asarray(pack_srgb_u8(color))
+
+    spec5 = scenes.ALL_CONFIGS[5](width=256, height=128, n_tris=2000,
+                                  backend="fused", capacity=1024)
+    fb0 = fblib.create(spec5.height, spec5.width)
+    color, _ = jax.jit(spec5.frame)(fb0.color, fb0.depth, jnp.float32(0.6))
+    yield spec5.name, np.asarray(pack_srgb_u8(color))
+
+    # Mixed per-draw sampling AND mixed shading in ONE batched fused call
+    # (SAMPLE_MIXED + per-triangle flag bits — the hardest payload layout).
+    yield "mixed_sampling_shading", _render_mixed(fblib, pack_srgb_u8)
+
+
+def _render_mixed(fblib, pack_srgb_u8):
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+
+    h, w = 120, 160
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 50.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    tex = primitives.checkerboard(16, 4)
+
+    def frame(color, depth):
+        fb = fblib.Framebuffer(color=color, depth=depth)
+        fb = fblib.clear(fb, jnp.asarray([0.04, 0.03, 0.08, 1.0], jnp.float32))
+        draws = [
+            DrawSpec(primitives.cube(),
+                     m3.model_matrix((-0.9, 0.0, -4.2), m3.rotate_y(0.5)),
+                     texture=tex, shading="gouraud", sampling="nearest"),
+            DrawSpec(primitives.uv_sphere(10, 14),
+                     m3.model_matrix((0.9, 0.1, -4.8), m3.rotate_y(1.0)),
+                     texture=tex, shading="phong", sampling="bilinear"),
+            DrawSpec(primitives.uv_sphere(8, 10),
+                     m3.model_matrix((0.0, -0.8, -5.6), m3.rotate_x(0.3)),
+                     color=(0.8, 0.5, 0.9, 1.0), shading="flat"),
+        ]
+        fb = draw_meshes(fb, proj, draws, light=light,
+                         sampling_mode="bilinear")
+        return fb.color
+
+    fb0 = fblib.create(h, w)
+    color = jax.jit(frame)(fb0.color, fb0.depth)
+    return np.asarray(pack_srgb_u8(color))
+
 
 def test_goldens_match():
     from PIL import Image
