@@ -44,6 +44,13 @@ def main():
         h, w = 120, 256  # smoke-test size off-TPU
     print(f"bench: backend={jax.default_backend()} frame={w}x{h}", file=sys.stderr)
 
+    if on_tpu:
+        from dtrenderer_tpu.utils import hwgate
+
+        warn = hwgate.check_stamp()
+        if warn:
+            print(f"bench: *** WARNING *** {warn}", file=sys.stderr)
+
     # Config-4 style scene: multi-mesh, textured, perspective-correct, Phong.
     # A dense sphere grid covering most of the frame -> high shaded coverage.
     sphere = primitives.uv_sphere(24, 32)
@@ -103,7 +110,7 @@ def main():
     print(f"bench: covered {covered/1e6:.2f} Mpix, {n_tris} tris/frame",
           file=sys.stderr)
 
-    dt = device_time(frame, fb0.color, fb0.depth, t, iters=12)
+    dt = device_time(frame, fb0.color, fb0.depth, t, iters=12, repeats=3)
     mpix_s = covered / dt / 1e6
     tris_s = n_tris / dt / 1e6
     print(f"bench: {dt*1000:.2f} ms/frame, {mpix_s:.0f} Mpix/s shaded, "
@@ -112,21 +119,51 @@ def main():
     # ---- scene 2: triangle throughput (200k soup @1080p, config-5 style) ----
     soup_tris, soup_dt, soup_mtris = run_soup_bench(h, w, on_tpu)
 
+    extra = {
+        "frame_ms": round(dt * 1000, 2),
+        "mtris_s": round(soup_mtris, 2),
+        "mtris_vs_baseline": round(soup_mtris / (10.0 / 8), 3),
+        "soup_tris": soup_tris,
+        "soup_frame_ms": round(soup_dt * 1000, 2),
+    }
+
+    # ---- scene 3: the FULL BASELINE config 5 (1M-tri soup @4K) ----
+    if on_tpu:
+        tris4k, dt4k = run_4k_bench()
+        extra["4k_tris"] = tris4k
+        extra["4k_frame_ms"] = round(dt4k * 1000, 1)
+        extra["4k_mtris_s"] = round(tris4k / dt4k / 1e6, 2)
+
     per_chip_target = 1e9 / 8 / 1e6  # 125 Mpix/s
-    mtris_share = 10.0 / 8  # 1.25 Mtris/s per chip of the 10 Mtris/s target
     print(json.dumps({
         "metric": "shaded_fill_rate_1080p_single_chip",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / per_chip_target, 3),
-        "extra": {
-            "frame_ms": round(dt * 1000, 2),
-            "mtris_s": round(soup_mtris, 2),
-            "mtris_vs_baseline": round(soup_mtris / mtris_share, 3),
-            "soup_tris": soup_tris,
-            "soup_frame_ms": round(soup_dt * 1000, 2),
-        },
+        "extra": extra,
     }))
+
+
+def run_4k_bench():
+    """BASELINE config 5 on one chip: 1M-triangle soup, 4K framebuffer, full
+    production pipeline (models/scenes.make_config5), zero-overflow audited."""
+    from dtrenderer_tpu.models.scenes import make_config5
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    spec = make_config5()
+    overflow, maxcount, cap = spec.audit()
+    print(f"bench(4k): bin audit overflow={overflow} maxcount={maxcount}/{cap}",
+          file=sys.stderr)
+    assert overflow == 0, "4k bin overflow — results would be fake"
+
+    fb0 = fblib.create(spec.height, spec.width)
+    dt = device_time(spec.frame, fb0.color, fb0.depth, jnp.float32(0.5),
+                     iters=4, repeats=3)
+    print(f"bench(4k): {dt*1000:.1f} ms/frame, "
+          f"{spec.n_tris/dt/1e6:.2f} Mtris/s ({spec.n_tris} tris @ "
+          f"{spec.width}x{spec.height})", file=sys.stderr)
+    return spec.n_tris, dt
 
 
 def run_soup_bench(h, w, on_tpu):
@@ -168,7 +205,7 @@ def run_soup_bench(h, w, on_tpu):
         return fb.color, fb.depth
 
     fb0 = fblib.create(h, w)
-    dt = device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5), iters=8)
+    dt = device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5), iters=8, repeats=3)
     mtris = n_tris / dt / 1e6
     print(f"bench(soup): {dt*1000:.2f} ms/frame, {mtris:.2f} Mtris/s "
           f"({n_tris} tris)", file=sys.stderr)

@@ -41,6 +41,9 @@ class SceneSpec(NamedTuple):
     height: int
     n_tris: int
     frame: Callable  # frame(color, depth, t) -> (color, depth)
+    # optional pre-flight binning audit () -> (overflow, max_count, capacity);
+    # benchmarks must assert overflow == 0 before trusting timings
+    audit: Callable | None = None
 
 
 def _clear(color, depth, rgba):
@@ -198,7 +201,17 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
                        near_clip=False)  # soup never crosses the near plane
         return fb.color, fb.depth
 
-    return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame)
+    def audit():
+        from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene
+
+        mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.5 * 0.3))
+        return audit_scene(
+            proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
+            height, width, light=light, near_clip=False,
+            raster_opts=dict(capacity=capacity, small_span=8),
+        )
+
+    return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit)
 
 
 ALL_CONFIGS = {

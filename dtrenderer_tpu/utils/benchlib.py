@@ -53,11 +53,16 @@ def _reduce_all(tree):
     return acc
 
 
-def device_time(fn, *args, iters: int = 20, warmup_iters: int = 2) -> float:
+def device_time(fn, *args, iters: int = 20, warmup_iters: int = 2,
+                repeats: int = 1) -> float:
     """Seconds per call of fn(*args), measured on device. fn must be jittable.
 
     ONE compiled program (a while_loop with a traced trip count) serves both the
     short and long runs, so remote-compile latency is paid once per fn.
+
+    repeats > 1: repeat the whole short/long differencing and return the MEDIAN
+    per-call time — remote-bench variance is ~±5-8% run-to-run (CLAUDE.md), so
+    headline numbers should use repeats=3.
     """
 
     @jax.jit
@@ -77,12 +82,15 @@ def device_time(fn, *args, iters: int = 20, warmup_iters: int = 2) -> float:
     # Compile + warm.
     float(np.asarray(run(warmup_iters, args)))
 
-    t0 = time.perf_counter()
-    float(np.asarray(run(warmup_iters, args)))
-    t_small = time.perf_counter() - t0
+    samples = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        float(np.asarray(run(warmup_iters, args)))
+        t_small = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    float(np.asarray(run(warmup_iters + iters, args)))
-    t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(run(warmup_iters + iters, args)))
+        t_big = time.perf_counter() - t0
+        samples.append(max(t_big - t_small, 1e-9) / iters)
 
-    return max(t_big - t_small, 1e-9) / iters
+    return float(np.median(samples))

@@ -1,0 +1,101 @@
+"""Config-5 (1M-tri soup @4K) stage attribution + variant sweep on the TPU.
+
+Splits the 405 ms frame into prep / binning / phase-1 / full to find where the
+time goes, then tries the candidate structural fixes (slab culling, tile size,
+chunk) the attribution justifies. Each NEW variant is a remote compile
+(1-10 min cold) — keep the list short, cache warm.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dtrenderer_tpu.utils.benchlib import device_time
+
+
+def main():
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.binning import bin_triangles
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes, prepare_draw
+    from dtrenderer_tpu.ops.render_fused import pack_payload, plan_layout
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+
+    h, w = 2160, 3840
+    n_tris = 1_000_000
+    soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
+    tex = primitives.gradient_texture(64)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 50.0))
+    light = make_light((0.3, 0.5, 1.0), 0.2)
+    mdl0 = jnp.asarray(m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.15)))
+    fb0 = fblib.create(h, w)
+
+    def make_frame(opts):
+        def frame(color, depth, t):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.04, 1], jnp.float32))
+            rot_t = m3.rotate_y(t - jnp.float32(0.5))
+            fb = draw_meshes(
+                fb, proj,
+                [DrawSpec(soup, m3.mat4mul(mdl0, rot_t), texture=tex,
+                          shading="gouraud")],
+                light=light, sampling_mode="nearest", near_clip=False,
+                raster_opts=opts,
+            )
+            return fb.color, fb.depth
+        return frame
+
+    layout = plan_layout([dict(textured=True, phong=False,
+                               corner_rgba_is_q=False, meta=(0, 64, 64))],
+                         mixed_sampling=False)
+
+    def prep_pack(t):
+        model = m3.mat4mul(mdl0, m3.rotate_y(t - jnp.float32(0.5)))
+        mvp = m3.mat4mul(proj, model)
+        setup, attrs10 = prepare_draw(soup, model, proj, mvp, model, light,
+                                      (1.0, 1.0, 1.0, 1.0), "gouraud",
+                                      w, h, True, False)
+        payload = pack_payload(attrs10, layout, (0, 64, 64), 0.0)
+        return setup.coef, setup.bbox, setup.valid, payload
+
+    def bin_only(tile_h, small_span, cap, n_slabs):
+        def f(t):
+            coef, bbox, valid, payload = prep_pack(t)
+            bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
+                                 tile_w=128, capacity=cap,
+                                 small_span=small_span, broad_cap=128,
+                                 payload=payload, n_slabs=n_slabs)
+            return bins.setup, bins.counts
+        return f
+
+    cfg = dict(capacity=2048, small_span=8, chunk=16, use_ybounds=False,
+               cols=2)
+    variants = [
+        ("prep+pack only", prep_pack, False),
+        ("bin-only t32 noyb", bin_only(32, 8, 2048, 1), False),
+        ("full t32 noyb (r2 cfg)", make_frame(dict(cfg)), True),
+        ("phase1 t32 noyb", make_frame(dict(cfg, skip_shading=True)), True),
+        ("full t32 YB", make_frame(dict(cfg, use_ybounds=True)), True),
+        ("bin-only t32 yb", bin_only(32, 8, 2048, 4), False),
+    ]
+    for name, fn, takes_fb in variants:
+        try:
+            if takes_fb:
+                dt = device_time(fn, fb0.color, fb0.depth, jnp.float32(0.5),
+                                 iters=4, repeats=2)
+            else:
+                dt = device_time(fn, jnp.float32(0.5), iters=4, repeats=2)
+            print(f"{name:26s} {dt*1000:8.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:26s} FAILED {str(e)[:140]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,7 +170,12 @@ def main():
     check("fused/mixed-sampling", fused_mixed)
     check("pallas-visibility", pallas_vis)
     check("fused-vs-ref-parity(hw)", parity)
-    print("tpu_smoke: ALL KERNELS COMPILE, RUN, AND MATCH ON HARDWARE")
+
+    from dtrenderer_tpu.utils import hwgate
+
+    stamp = hwgate.write_stamp()
+    print(f"tpu_smoke: ALL KERNELS COMPILE, RUN, AND MATCH ON HARDWARE "
+          f"(stamp: {stamp})")
 
 
 if __name__ == "__main__":
