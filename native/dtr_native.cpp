@@ -4,7 +4,7 @@
 // hand-written Wavefront OBJ text parser and stb_image-based bitmap decoding).
 // Implemented from scratch: OBJ tokenizer/parser, BMP (24/32 uncompressed),
 // TGA (types 2/3/10, incl. RLE), PNG (all color types, bit depths 1/2/4/8/16,
-// non-interlaced + Adam7 interlaced), baseline JPEG (Huffman entropy decode,
+// non-interlaced + Adam7 interlaced), baseline AND progressive JPEG (Huffman,
 // fixed-point Loeffler IDCT, restart markers, libjpeg-compatible fancy chroma
 // upsampling, YCbCr->RGB), and the DEFLATE/zlib inflate underneath PNG
 // (RFC 1950/1951: stored + fixed-Huffman + dynamic-Huffman blocks,
@@ -812,7 +812,9 @@ static void decode_png(const uint8_t* d, int64_t n, DtrImage* im) {
 // stb_image parity for the reference's stbi_load JPG path (SURVEY.md §2 #8):
 // marker parse, Huffman entropy decode (DC diff + AC run-length), dequant,
 // float IDCT, restart markers, fancy (triangle-filter) 2x chroma upsampling,
-// YCbCr->RGB. Progressive JPEG is rejected with a clear error.
+// YCbCr->RGB; progressive (SOF2) spectral-selection + successive-approximation
+// scans decode into per-component coefficient planes, IDCT deferred to a
+// final pass shared with the sequential path.
 namespace dtr_jpeg {
 
 struct JHuff {
@@ -1003,7 +1005,9 @@ struct JComp {
   int dc_tbl = 0, ac_tbl = 0;
   int dc_pred = 0;
   int bw = 0, bh = 0;            // blocks across/down (MCU-padded)
-  std::vector<uint8_t> plane;   // bw*8 x bh*8 samples
+  int bwd = 0, bhd = 0;          // DATA blocks (non-interleaved scan grid)
+  std::vector<int32_t> coef;     // bw*bh blocks x 64 coefs, ZIGZAG order, raw
+  std::vector<uint8_t> plane;    // bw*8 x bh*8 samples (filled by final IDCT)
 };
 
 struct JDec {
@@ -1013,21 +1017,22 @@ struct JDec {
   JComp comp[4];
   int hmax = 1, vmax = 1;
   int restart = 0;
+  bool progressive = false;
   const char* err = nullptr;
 };
 
-static bool jdecode_block(JBits& br, JDec& jd, JComp& c, int bx, int by) {
-  int coef[64] = {0};
-  const JHuff& hdc = jd.dc[c.dc_tbl];
-  const JHuff& hac = jd.ac[c.ac_tbl];
-  int t = jhuff_decode(br, hdc);
+// Sequential (baseline) block: DC diff + AC run-length into the RAW
+// coefficient store (dequant happens in the final IDCT pass, shared with the
+// progressive path).
+static bool jdecode_block_seq(JBits& br, JDec& jd, JComp& c, int bx, int by) {
+  int32_t* coef = &c.coef[((size_t)by * c.bw + bx) * 64];
+  int t = jhuff_decode(br, jd.dc[c.dc_tbl]);
   if (t < 0 || t > 15) return false;
-  int diff = jextend(br.bits(t), t);
-  c.dc_pred += diff;
-  coef[0] = c.dc_pred * jd.qt[c.tq][0];
+  c.dc_pred += jextend(br.bits(t), t);
+  coef[0] = c.dc_pred;
   int k = 1;
   while (k < 64) {
-    int rs = jhuff_decode(br, hac);
+    int rs = jhuff_decode(br, jd.ac[c.ac_tbl]);
     if (rs < 0) return false;
     int r = rs >> 4, s = rs & 15;
     if (s == 0) {
@@ -1036,15 +1041,195 @@ static bool jdecode_block(JBits& br, JDec& jd, JComp& c, int bx, int by) {
     }
     k += r;
     if (k > 63) return false;
-    coef[ZIGZAG[k]] = jextend(br.bits(s), s) * jd.qt[c.tq][k];
+    coef[k] = jextend(br.bits(s), s);
     k++;
   }
-  // move DC's dezigzag (ZIGZAG[0] == 0 already) — coef is natural order now
-  uint8_t* dst = &c.plane[((size_t)by * 8) * ((size_t)c.bw * 8) + bx * 8];
-  int tmp[64];
-  for (int i = 0; i < 64; i++) tmp[i] = coef[i];
-  jidct(tmp, dst, c.bw * 8);
   return true;
+}
+
+// Byte-align and skip the RSTn marker at a restart boundary; unread buffered
+// bits are padding (the bit reader never consumes marker bytes into buf).
+static void jskip_restart(JBits& br) {
+  br.buf = 0;
+  br.cnt = 0;
+  while (br.pos + 1 < br.n &&
+         !(br.d[br.pos] == 0xFF && br.d[br.pos + 1] >= 0xD0 &&
+           br.d[br.pos + 1] <= 0xD7))
+    br.pos++;
+  if (br.pos + 1 < br.n) br.pos += 2;
+  br.marker = 0;
+}
+
+// Sequential scan: interleaved MCU walk (or single-component data grid).
+static const char* jdecode_scan_seq(JBits& br, JDec& jd, JComp** scomp,
+                                    int ns) {
+  for (int i = 0; i < ns; i++) scomp[i]->dc_pred = 0;
+  int mcux, mcuy;
+  if (ns == 1) {
+    mcux = scomp[0]->bwd;
+    mcuy = scomp[0]->bhd;
+  } else {
+    mcux = (jd.w + 8 * jd.hmax - 1) / (8 * jd.hmax);
+    mcuy = (jd.h + 8 * jd.vmax - 1) / (8 * jd.vmax);
+  }
+  int mcus = 0;
+  for (int my = 0; my < mcuy; my++) {
+    for (int mx = 0; mx < mcux; mx++) {
+      if (jd.restart && mcus && mcus % jd.restart == 0) {
+        jskip_restart(br);
+        for (int i = 0; i < ns; i++) scomp[i]->dc_pred = 0;
+      }
+      if (ns == 1) {
+        if (!jdecode_block_seq(br, jd, *scomp[0], mx, my))
+          return "jpg: entropy decode failed";
+      } else {
+        for (int i = 0; i < ns; i++) {
+          JComp& c = *scomp[i];
+          for (int v = 0; v < c.v; v++)
+            for (int hh = 0; hh < c.h; hh++)
+              if (!jdecode_block_seq(br, jd, c, mx * c.h + hh, my * c.v + v))
+                return "jpg: entropy decode failed";
+        }
+      }
+      mcus++;
+    }
+  }
+  return nullptr;
+}
+
+// Progressive scan (ITU T.81 G.1.2 / libjpeg jdphuff semantics): DC scans are
+// (optionally) interleaved; AC scans cover one component's data blocks with
+// EOB-run coding; refinement scans (Ah > 0) append one bit of precision.
+static const char* jdecode_scan_progressive(JBits& br, JDec& jd, JComp** sc,
+                                            int ns, int Ss, int Se, int Ah,
+                                            int Al) {
+  if (Ss == 0) {  // ---- DC scan ----
+    if (Se != 0) return "jpg: bad progressive DC scan";
+    for (int i = 0; i < ns; i++) sc[i]->dc_pred = 0;
+    int mcux, mcuy;
+    if (ns == 1) {
+      mcux = sc[0]->bwd;
+      mcuy = sc[0]->bhd;
+    } else {
+      mcux = (jd.w + 8 * jd.hmax - 1) / (8 * jd.hmax);
+      mcuy = (jd.h + 8 * jd.vmax - 1) / (8 * jd.vmax);
+    }
+    int mcus = 0;
+    for (int my = 0; my < mcuy; my++) {
+      for (int mx = 0; mx < mcux; mx++) {
+        if (jd.restart && mcus && mcus % jd.restart == 0) {
+          jskip_restart(br);
+          for (int i = 0; i < ns; i++) sc[i]->dc_pred = 0;
+        }
+        for (int i = 0; i < ns; i++) {
+          JComp& c = *sc[i];
+          int nv = ns == 1 ? 1 : c.v, nh = ns == 1 ? 1 : c.h;
+          for (int v = 0; v < nv; v++) {
+            for (int hh = 0; hh < nh; hh++) {
+              int bx = ns == 1 ? mx : mx * c.h + hh;
+              int by = ns == 1 ? my : my * c.v + v;
+              int32_t* coef = &c.coef[((size_t)by * c.bw + bx) * 64];
+              if (Ah == 0) {
+                int t = jhuff_decode(br, jd.dc[c.dc_tbl]);
+                if (t < 0 || t > 15) return "jpg: entropy decode failed";
+                c.dc_pred += jextend(br.bits(t), t);
+                coef[0] = c.dc_pred * (1 << Al);
+              } else {
+                if (br.bits(1)) coef[0] |= (1 << Al);
+              }
+            }
+          }
+        }
+        mcus++;
+      }
+    }
+    return nullptr;
+  }
+  // ---- AC scan: exactly one component, data-block raster order ----
+  if (ns != 1 || Se > 63 || Ss > Se) return "jpg: bad progressive AC scan";
+  JComp& c = *sc[0];
+  const JHuff& hac = jd.ac[c.ac_tbl];
+  int eobrun = 0;
+  int p1 = 1 << Al, m1 = -(1 << Al);
+  int blocks = 0;
+  for (int by = 0; by < c.bhd; by++) {
+    for (int bx = 0; bx < c.bwd; bx++) {
+      if (jd.restart && blocks && blocks % jd.restart == 0) {
+        jskip_restart(br);
+        eobrun = 0;
+      }
+      blocks++;
+      int32_t* coef = &c.coef[((size_t)by * c.bw + bx) * 64];
+      int k = Ss;
+      if (Ah == 0) {  // first AC scan for this band
+        if (eobrun) {
+          eobrun--;
+          continue;
+        }
+        while (k <= Se) {
+          int rs = jhuff_decode(br, hac);
+          if (rs < 0) return "jpg: entropy decode failed";
+          int r = rs >> 4, s = rs & 15;
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1;
+              if (r) eobrun += br.bits(r);
+              break;
+            }
+            k += 16;  // ZRL
+          } else {
+            k += r;
+            if (k > Se) return "jpg: AC index out of band";
+            coef[k] = jextend(br.bits(s), s) * (1 << Al);
+            k++;
+          }
+        }
+      } else {  // refinement scan: append a bit to this band
+        if (eobrun == 0) {
+          while (k <= Se) {
+            int rs = jhuff_decode(br, hac);
+            if (rs < 0) return "jpg: entropy decode failed";
+            int r = rs >> 4, s = rs & 15;
+            int val = 0;
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r;
+                if (r) eobrun += br.bits(r);
+                break;
+              }
+              // r == 15: run of 16 zero-history positions
+            } else {
+              if (s != 1) return "jpg: bad refinement code";
+              val = br.bits(1) ? p1 : m1;
+            }
+            while (k <= Se) {
+              int32_t& ck = coef[k];
+              if (ck != 0) {
+                if (br.bits(1) && (ck & p1) == 0) ck += ck >= 0 ? p1 : m1;
+              } else {
+                if (r == 0) break;
+                r--;
+              }
+              k++;
+            }
+            if (val && k <= Se) coef[k] = val;
+            k++;
+          }
+        }
+        if (eobrun > 0) {  // correction bits for the rest of the band
+          while (k <= Se) {
+            int32_t& ck = coef[k];
+            if (ck != 0 && br.bits(1) && (ck & p1) == 0)
+              ck += ck >= 0 ? p1 : m1;
+            k++;
+          }
+          eobrun--;
+        }
+      }
+      if (br.fail) return "jpg: entropy decode failed";
+    }
+  }
+  return nullptr;
 }
 
 // Fancy (triangle-filter) 1D horizontal 2x upsample: 3/4 near + 1/4 far,
@@ -1064,6 +1249,7 @@ static void jup_h2(const uint8_t* in, int iw, uint8_t* out) {
 static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
   size_t p = 2;  // past SOI
   bool have_sof = false;
+  int scans = 0;
   while (p + 4 <= n) {
     if (d[p] != 0xFF) return "jpg: marker sync lost";
     uint8_t m = d[p + 1];
@@ -1107,9 +1293,10 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
         q += total;
         hh.ok = true;
       }
-    } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline/ext sequential
+    } else if (m == 0xC0 || m == 0xC1 || m == 0xC2) {  // SOF0/1/2
       if (have_sof) return "jpg: multiple SOF";
       have_sof = true;
+      jd.progressive = m == 0xC2;
       if (slen < 6) return "jpg: bad SOF";
       if (seg[0] != 8) return "jpg: only 8-bit precision";
       jd.h = ((int)seg[1] << 8) | seg[2];
@@ -1124,22 +1311,37 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
         c.h = seg[7 + i * 3] >> 4;
         c.v = seg[7 + i * 3] & 15;
         c.tq = seg[8 + i * 3];
+        if (jd.ncomp == 1) c.h = c.v = 1;  // sampling ignored for grayscale
         if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3)
           return "jpg: bad sampling";
         if (c.h > jd.hmax) jd.hmax = c.h;
         if (c.v > jd.vmax) jd.vmax = c.v;
       }
-    } else if (m == 0xC2) {
-      return "jpg: progressive not supported";
+      // allocate MCU-padded coefficient grids (+ data-block dims for
+      // non-interleaved scans)
+      int mcux = (jd.w + 8 * jd.hmax - 1) / (8 * jd.hmax);
+      int mcuy = (jd.h + 8 * jd.vmax - 1) / (8 * jd.vmax);
+      for (int i = 0; i < jd.ncomp; i++) {
+        JComp& c = jd.comp[i];
+        c.bw = mcux * c.h;
+        c.bh = mcuy * c.v;
+        int cw = (jd.w * c.h + jd.hmax - 1) / jd.hmax;
+        int ch2 = (jd.h * c.v + jd.vmax - 1) / jd.vmax;
+        c.bwd = (cw + 7) / 8;
+        c.bhd = (ch2 + 7) / 8;
+        if ((int64_t)c.bw * c.bh > (int64_t)1 << 24) return "jpg: too large";
+        c.coef.assign((size_t)c.bw * c.bh * 64, 0);
+      }
     } else if (m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
       return "jpg: unsupported SOF type";
-    } else if (m == 0xDD) {  // DRI
-      if (slen < 4) return "jpg: bad DRI";
+    } else if (m == 0xDD) {  // DRI (segment payload: 2-byte interval)
+      if (slen < 2) return "jpg: bad DRI";
       jd.restart = ((int)seg[0] << 8) | seg[1];
-    } else if (m == 0xDA) {  // SOS — decode entropy data
+    } else if (m == 0xDA) {  // SOS — decode one scan's entropy data
       if (!have_sof) return "jpg: SOS before SOF";
       int ns = seg[0];
-      if (ns != jd.ncomp && ns != 1) return "jpg: partial scans unsupported";
+      if (ns < 1 || ns > jd.ncomp || slen < 4 + (size_t)ns * 2)
+        return "jpg: bad SOS";
       JComp* scomp[4];
       for (int i = 0; i < ns; i++) {
         int cid = seg[1 + i * 2];
@@ -1150,68 +1352,32 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
         if (!c) return "jpg: SOS refers to unknown component";
         c->dc_tbl = tt >> 4;
         c->ac_tbl = tt & 15;
-        if (c->dc_tbl > 3 || c->ac_tbl > 3 || !jd.dc[c->dc_tbl].ok ||
-            !jd.ac[c->ac_tbl].ok)
-          return "jpg: missing Huffman table";
+        if (c->dc_tbl > 3 || c->ac_tbl > 3) return "jpg: bad table id";
         scomp[i] = c;
       }
-      int mcux, mcuy;
-      if (ns == 1) {
-        JComp& c = *scomp[0];
-        int cw = (jd.w * c.h + jd.hmax - 1) / jd.hmax;
-        int ch2 = (jd.h * c.v + jd.vmax - 1) / jd.vmax;
-        c.bw = (cw + 7) / 8;
-        c.bh = (ch2 + 7) / 8;
-        c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
-        mcux = c.bw;
-        mcuy = c.bh;
-      } else {
-        mcux = (jd.w + 8 * jd.hmax - 1) / (8 * jd.hmax);
-        mcuy = (jd.h + 8 * jd.vmax - 1) / (8 * jd.vmax);
-        for (int i = 0; i < ns; i++) {
-          JComp& c = *scomp[i];
-          c.bw = mcux * c.h;
-          c.bh = mcuy * c.v;
-          c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
-        }
+      int Ss = seg[1 + 2 * ns], Se = seg[2 + 2 * ns];
+      int Ah = seg[3 + 2 * ns] >> 4, Al = seg[3 + 2 * ns] & 15;
+      if (!jd.progressive) { Ss = 0; Se = 63; Ah = Al = 0; }
+      // table presence depends on scan type (DC refinement needs none)
+      for (int i = 0; i < ns; i++) {
+        if (Ss == 0 && Ah == 0 && !jd.dc[scomp[i]->dc_tbl].ok)
+          return "jpg: missing DC table";
+        if ((Se > 0 || !jd.progressive) && !jd.ac[scomp[i]->ac_tbl].ok)
+          return "jpg: missing AC table";
       }
       JBits br{d + p + len, n - p - len, 0};
-      int mcus = 0;
-      for (int my = 0; my < mcuy; my++) {
-        for (int mx = 0; mx < mcux; mx++) {
-          if (jd.restart && mcus && mcus % jd.restart == 0) {
-            br.align();
-            // expect RSTn in the entropy stream
-            br.buf = 0;
-            br.cnt = 0;
-            while (br.pos + 1 < br.n && !(d[p + len + br.pos] == 0xFF &&
-                                          d[p + len + br.pos + 1] >= 0xD0 &&
-                                          d[p + len + br.pos + 1] <= 0xD7))
-              br.pos++;
-            if (br.pos + 1 < br.n) br.pos += 2;
-            br.marker = 0;
-            for (int i = 0; i < ns; i++) scomp[i]->dc_pred = 0;
-          }
-          if (ns == 1) {
-            if (!jdecode_block(br, jd, *scomp[0], mx, my))
-              return "jpg: entropy decode failed";
-          } else {
-            for (int i = 0; i < ns; i++) {
-              JComp& c = *scomp[i];
-              for (int v = 0; v < c.v; v++)
-                for (int hh = 0; hh < c.h; hh++)
-                  if (!jdecode_block(br, jd, c, mx * c.h + hh, my * c.v + v))
-                    return "jpg: entropy decode failed";
-            }
-          }
-          mcus++;
-        }
-      }
-      return nullptr;  // single-scan baseline: done after SOS
+      const char* serr =
+          jd.progressive
+              ? jdecode_scan_progressive(br, jd, scomp, ns, Ss, Se, Ah, Al)
+              : jdecode_scan_seq(br, jd, scomp, ns);
+      if (serr) return serr;
+      scans++;
+      p = p + len + br.pos;  // br stopped AT the next marker
+      continue;
     }
     p += len;
   }
-  return "jpg: no SOS";
+  return scans ? nullptr : "jpg: no SOS";
 }
 
 // Upsample component c to full (w, h) resolution. Fancy triangle filter for
@@ -1310,6 +1476,22 @@ static void decode_jpeg(const uint8_t* d, int64_t n, DtrImage* im) {
   JDec jd;
   const char* err = jparse_and_decode(d, (size_t)n, jd);
   if (err) { img_err(im, err); return; }
+  // final pass: dequant + dezigzag + IDCT every block into the sample planes
+  // (shared by sequential and progressive paths; coefficients are raw)
+  for (int i = 0; i < jd.ncomp; i++) {
+    JComp& c = jd.comp[i];
+    c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+    const uint16_t* qt = jd.qt[c.tq];
+    for (int by = 0; by < c.bh; by++) {
+      for (int bx = 0; bx < c.bw; bx++) {
+        const int32_t* coef = &c.coef[((size_t)by * c.bw + bx) * 64];
+        int nat[64];
+        for (int k = 0; k < 64; k++) nat[ZIGZAG[k]] = coef[k] * (int)qt[k];
+        uint8_t* dst = &c.plane[((size_t)by * 8) * ((size_t)c.bw * 8) + bx * 8];
+        jidct(nat, dst, c.bw * 8);
+      }
+    }
+  }
   int w = jd.w, h = jd.h;
   im->width = w;
   im->height = h;

@@ -219,12 +219,36 @@ def test_jpg_grayscale_bit_exact(rng, tmp_path):
     assert np.array_equal(ours, pil)
 
 
-def test_jpg_progressive_rejected(rng, tmp_path):
-    img = _test_rgb(rng, 32, 32)
+@pytest.mark.parametrize("subsampling,max_diff", [(0, 1), (1, 0), (2, 0)])
+def test_jpg_progressive_matches_pil(rng, tmp_path, subsampling, max_diff):
+    """Progressive (SOF2) decode: spectral-selection + successive-approximation
+    scans, EOB runs, refinement bits."""
+    img = _test_rgb(rng, 97, 131)
     p = str(tmp_path / "p.jpg")
-    Image.fromarray(img, "RGB").save(p, quality=90, progressive=True)
-    with pytest.raises(IOError, match="progressive"):
-        native.decode_image_file(p)
+    Image.fromarray(img, "RGB").save(p, quality=90, progressive=True,
+                                     subsampling=subsampling)
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+    d = np.abs(ours.astype(int) - pil.astype(int))
+    assert d.max() <= max_diff, f"max diff {d.max()} > {max_diff}"
+
+
+def test_jpg_restart_markers(rng, tmp_path):
+    """DRI/RSTn handling: predictors reset and the bit reader realigns at
+    every restart interval."""
+    img = _test_rgb(rng, 64, 80)
+    p = str(tmp_path / "r.jpg")
+    try:
+        Image.fromarray(img, "RGB").save(p, quality=90, subsampling=2,
+                                         restart_marker_blocks=4)
+    except TypeError:
+        pytest.skip("PIL too old for restart_marker_blocks")
+    with open(p, "rb") as f:
+        data = f.read()
+    assert b"\xff\xdd" in data, "encoder wrote no DRI segment"
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+    assert np.array_equal(ours, pil)
 
 
 def test_jpg_via_load_bitmap_no_pil(tmp_path, rng):
