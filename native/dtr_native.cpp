@@ -225,7 +225,23 @@ static DtrImage* img_err(DtrImage* im, const char* msg) {
   return im;
 }
 
-// ---- BMP (uncompressed 24/32-bit) ----
+// ---- BMP: 1/4/8-bit palette, 16-bit (555 + bitfields), 24/32-bit ----
+// (stb_image's BMP coverage; RLE compression is rejected, as in stb.)
+static int bmp_mask_shift(uint32_t m) {
+  if (!m) return 0;
+  int s = 0;
+  while (!(m & 1)) { m >>= 1; s++; }
+  return s;
+}
+
+static int bmp_mask_scale(uint32_t m) {  // bits in the contiguous mask
+  if (!m) return 8;
+  m >>= bmp_mask_shift(m);
+  int b = 0;
+  while (m & 1) { m >>= 1; b++; }
+  return b;
+}
+
 static void decode_bmp(const uint8_t* d, int64_t n, DtrImage* im) {
   if (n < 54) { img_err(im, "bmp: truncated header"); return; }
   uint32_t off = *(const uint32_t*)(d + 10);
@@ -236,52 +252,152 @@ static void decode_bmp(const uint8_t* d, int64_t n, DtrImage* im) {
   uint32_t comp = *(const uint32_t*)(d + 30);
   if (hsz < 40) { img_err(im, "bmp: unsupported header"); return; }
   if (comp != 0 && comp != 3) { img_err(im, "bmp: compressed not supported"); return; }
-  if (bpp != 24 && bpp != 32) { img_err(im, "bmp: only 24/32 bpp"); return; }
+  if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 16 && bpp != 24 && bpp != 32) {
+    img_err(im, "bmp: unsupported bpp");
+    return;
+  }
   bool flip = h > 0;
   int32_t ah = h < 0 ? -h : h;
   if (w <= 0 || ah <= 0 || w > 1 << 16 || ah > 1 << 16) {
     img_err(im, "bmp: bad dims");
     return;
   }
-  int64_t stride = ((int64_t)w * (bpp / 8) + 3) & ~3;
+  // palette (BGRA entries right after the info header + optional masks)
+  uint8_t pal[256][4];
+  int n_pal = 0;
+  if (bpp <= 8) {
+    uint32_t ncol = *(const uint32_t*)(d + 46);
+    if (ncol == 0 || ncol > 256) ncol = 1u << bpp;
+    const uint8_t* p = d + 14 + hsz;
+    if (p + (int64_t)ncol * 4 > d + n) { img_err(im, "bmp: bad palette"); return; }
+    for (uint32_t i = 0; i < ncol; i++) {
+      pal[i][0] = p[i * 4 + 2];
+      pal[i][1] = p[i * 4 + 1];
+      pal[i][2] = p[i * 4 + 0];
+      pal[i][3] = 255;
+    }
+    n_pal = (int)ncol;
+  }
+  // 16-bit channel masks: 555 default, BI_BITFIELDS override
+  uint32_t mr = 0x7C00, mg = 0x03E0, mb = 0x001F, ma = 0;
+  if (bpp == 16 && comp == 3) {
+    if (14 + hsz + 12 > (uint64_t)n && hsz < 52) { img_err(im, "bmp: bad masks"); return; }
+    const uint8_t* mp = hsz >= 52 ? d + 14 + 40 : d + 14 + hsz;
+    mr = *(const uint32_t*)(mp + 0);
+    mg = *(const uint32_t*)(mp + 4);
+    mb = *(const uint32_t*)(mp + 8);
+  }
+  int64_t stride = (((int64_t)w * bpp + 7) / 8 + 3) & ~3;
   if ((int64_t)off + stride * ah > n) { img_err(im, "bmp: truncated data"); return; }
   im->width = w;
   im->height = ah;
   im->pixels = (uint8_t*)malloc((size_t)w * ah * 4);
+  int rs = bmp_mask_shift(mr), gs = bmp_mask_shift(mg), bs = bmp_mask_shift(mb);
+  int rb = bmp_mask_scale(mr), gb = bmp_mask_scale(mg), bb = bmp_mask_scale(mb);
+  auto expand = [](uint32_t v, int bits) -> uint8_t {
+    if (bits >= 8) return (uint8_t)(v >> (bits - 8));
+    uint32_t x = v << (8 - bits);       // replicate high bits into the low end
+    return (uint8_t)(x | (x >> bits));
+  };
   for (int32_t y = 0; y < ah; y++) {
     const uint8_t* row = d + off + stride * (flip ? (ah - 1 - y) : y);
     uint8_t* out = im->pixels + (size_t)y * w * 4;
     for (int32_t x = 0; x < w; x++) {
-      const uint8_t* px = row + (int64_t)x * (bpp / 8);
-      out[x * 4 + 0] = px[2];
-      out[x * 4 + 1] = px[1];
-      out[x * 4 + 2] = px[0];
-      out[x * 4 + 3] = bpp == 32 ? px[3] : 255;
+      if (bpp <= 8) {
+        int bit = x * bpp;
+        int idx = (row[bit >> 3] >> (8 - bpp - (bit & 7))) & ((1 << bpp) - 1);
+        if (idx >= n_pal) idx = 0;
+        memcpy(out + x * 4, pal[idx], 4);
+      } else if (bpp == 16) {
+        uint16_t v = (uint16_t)(row[x * 2] | (row[x * 2 + 1] << 8));
+        out[x * 4 + 0] = expand((v & mr) >> rs, rb);
+        out[x * 4 + 1] = expand((v & mg) >> gs, gb);
+        out[x * 4 + 2] = expand((v & mb) >> bs, bb);
+        out[x * 4 + 3] = ma ? expand((v & ma) >> bmp_mask_shift(ma),
+                                     bmp_mask_scale(ma))
+                            : 255;
+      } else {
+        const uint8_t* px = row + (int64_t)x * (bpp / 8);
+        out[x * 4 + 0] = px[2];
+        out[x * 4 + 1] = px[1];
+        out[x * 4 + 2] = px[0];
+        out[x * 4 + 3] = bpp == 32 ? px[3] : 255;
+      }
     }
   }
 }
 
-// ---- TGA (types 2/3 uncompressed, 10 RLE; 8/24/32 bpp) ----
+// ---- TGA: types 1/2/3 uncompressed + 9/10/11 RLE; colormapped, gray,
+// 15/16/24/32-bit truecolor (stb_image's TGA coverage) ----
+static void tga_emit(const uint8_t* px, int bypp, bool is_gray, uint8_t* out) {
+  if (is_gray) {
+    out[0] = out[1] = out[2] = px[0];
+    out[3] = 255;
+  } else if (bypp == 2) {  // ARRRRRGG GGGBBBBB little-endian (5-5-5)
+    uint16_t v = (uint16_t)(px[0] | (px[1] << 8));
+    auto e5 = [](int f) { return (uint8_t)((f << 3) | (f >> 2)); };
+    out[0] = e5((v >> 10) & 31);
+    out[1] = e5((v >> 5) & 31);
+    out[2] = e5(v & 31);
+    out[3] = 255;
+  } else {
+    out[0] = px[2];
+    out[1] = px[1];
+    out[2] = px[0];
+    out[3] = bypp == 4 ? px[3] : 255;
+  }
+}
+
 static void decode_tga(const uint8_t* d, int64_t n, DtrImage* im) {
   if (n < 18) { img_err(im, "tga: truncated"); return; }
   uint8_t idlen = d[0], cmap = d[1], type = d[2];
+  int cm_first = d[3] | (d[4] << 8);
+  int cm_len = d[5] | (d[6] << 8);
+  int cm_bpp = d[7];
   int32_t w = d[12] | (d[13] << 8);
   int32_t h = d[14] | (d[15] << 8);
   uint8_t bpp = d[16];
   uint8_t desc = d[17];
-  if (cmap != 0) { img_err(im, "tga: colormap not supported"); return; }
-  if (type != 2 && type != 3 && type != 10 && type != 11) {
+  bool mapped = type == 1 || type == 9;
+  bool is_gray = type == 3 || type == 11;
+  if (type != 1 && type != 2 && type != 3 && type != 9 && type != 10 &&
+      type != 11) {
     img_err(im, "tga: unsupported type");
     return;
   }
-  if (bpp != 8 && bpp != 24 && bpp != 32) { img_err(im, "tga: bpp"); return; }
+  if (mapped != (cmap == 1)) { img_err(im, "tga: bad colormap flag"); return; }
+  if (mapped) {
+    if (bpp != 8 && bpp != 16) { img_err(im, "tga: bad index size"); return; }
+    if (cm_bpp != 15 && cm_bpp != 16 && cm_bpp != 24 && cm_bpp != 32) {
+      img_err(im, "tga: bad colormap entry size");
+      return;
+    }
+  } else if (bpp != 8 && bpp != 15 && bpp != 16 && bpp != 24 && bpp != 32) {
+    img_err(im, "tga: bpp");
+    return;
+  }
   if (w <= 0 || h <= 0) { img_err(im, "tga: bad dims"); return; }
   bool origin_top = (desc & 0x20) != 0;
-  int bypp = bpp / 8;
+  int bypp = (bpp + 7) / 8;
   const uint8_t* p = d + 18 + idlen;
   const uint8_t* end = d + n;
+
+  // decode the colormap into RGBA
+  std::vector<uint8_t> palette;
+  if (mapped) {
+    int cm_bypp = (cm_bpp + 7) / 8;
+    if (end - p < (int64_t)cm_len * cm_bypp) {
+      img_err(im, "tga: truncated colormap");
+      return;
+    }
+    palette.resize((size_t)cm_len * 4);
+    for (int i = 0; i < cm_len; i++)
+      tga_emit(p + (size_t)i * cm_bypp, cm_bypp, false, &palette[i * 4]);
+    p += (size_t)cm_len * cm_bypp;
+  }
+
   std::vector<uint8_t> raw((size_t)w * h * bypp);
-  if (type == 2 || type == 3) {
+  if (type <= 3) {  // uncompressed
     if (end - p < (int64_t)raw.size()) { img_err(im, "tga: truncated data"); return; }
     memcpy(raw.data(), p, raw.size());
   } else {  // RLE
@@ -317,14 +433,13 @@ static void decode_tga(const uint8_t* d, int64_t n, DtrImage* im) {
     uint8_t* out = im->pixels + (size_t)y * w * 4;
     for (int32_t x = 0; x < w; x++) {
       const uint8_t* px = row + (size_t)x * bypp;
-      if (bypp == 1) {
-        out[x * 4 + 0] = out[x * 4 + 1] = out[x * 4 + 2] = px[0];
-        out[x * 4 + 3] = 255;
+      if (mapped) {
+        int idx = bypp == 1 ? px[0] : (px[0] | (px[1] << 8));
+        idx -= cm_first;
+        if (idx < 0 || idx >= cm_len) idx = 0;
+        memcpy(out + x * 4, &palette[(size_t)idx * 4], 4);
       } else {
-        out[x * 4 + 0] = px[2];
-        out[x * 4 + 1] = px[1];
-        out[x * 4 + 2] = px[0];
-        out[x * 4 + 3] = bypp == 4 ? px[3] : 255;
+        tga_emit(px, is_gray ? 1 : bypp, is_gray, out + x * 4);
       }
     }
   }

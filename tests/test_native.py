@@ -372,3 +372,93 @@ def test_png_1bit_gray_matches_pil(rng):
     ours = native.decode_image_bytes(png)
     pil = np.asarray(Image.open(io.BytesIO(png)).convert("RGBA"))
     assert np.array_equal(ours, pil)
+
+
+# ---------------------------------------------------------------------------
+# BMP palette/16-bit, TGA colormap/16-bit (stb_image parity)
+# ---------------------------------------------------------------------------
+
+def test_bmp_palette_8bit_matches_pil(rng, tmp_path):
+    idx = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    pimg = Image.fromarray(idx, "P")
+    pimg.putpalette(rng.integers(0, 256, 768, dtype=np.uint8).tolist())
+    p = str(tmp_path / "p8.bmp")
+    pimg.save(p)
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"))
+    assert np.array_equal(ours, pil)
+
+
+def test_bmp_1bit_matches_pil(rng, tmp_path):
+    img = Image.fromarray(
+        (rng.integers(0, 256, (9, 37)) > 128).astype(np.uint8) * 255, "L"
+    ).convert("1")
+    p = str(tmp_path / "p1.bmp")
+    img.save(p)
+    ours = native.decode_image_file(p)
+    pil = np.asarray(Image.open(p).convert("RGBA"))
+    assert np.array_equal(ours, pil)
+
+
+def test_bmp_16bit_555(rng, tmp_path):
+    """Hand-built 16-bpp (5-5-5) BMP: channels expand by bit replication."""
+    import struct
+
+    h, w = 5, 7
+    rgb = rng.integers(0, 32, (h, w, 3), dtype=np.uint16)
+    v = (rgb[:, :, 0] << 10) | (rgb[:, :, 1] << 5) | rgb[:, :, 2]
+    stride = (w * 2 + 3) & ~3
+    data = b""
+    for y in range(h - 1, -1, -1):
+        row = v[y].astype("<u2").tobytes()
+        data += row + b"\x00" * (stride - len(row))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(data),
+                         0, 0, 0, 0))
+    p = str(tmp_path / "p16.bmp")
+    with open(p, "wb") as f:
+        f.write(hdr + data)
+    ours = native.decode_image_file(p)
+    exp = np.zeros((h, w, 4), np.uint8)
+    for c in range(3):
+        exp[:, :, c] = ((rgb[:, :, c] << 3) | (rgb[:, :, c] >> 2)).astype(
+            np.uint8)
+    exp[:, :, 3] = 255
+    assert np.array_equal(ours, exp)
+
+
+def test_tga_colormapped_matches_pil(rng, tmp_path):
+    import struct
+
+    h, w = 6, 9
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 16, 24, 0, 0, w, h, 8,
+                      0x20)
+    p = str(tmp_path / "cm.tga")
+    with open(p, "wb") as f:
+        f.write(hdr + pal[:, ::-1].tobytes() + idx.tobytes())
+    ours = native.decode_image_file(p)
+    exp = np.concatenate([pal[idx], np.full((h, w, 1), 255, np.uint8)], -1)
+    pil = np.asarray(Image.open(p).convert("RGBA"))
+    assert np.array_equal(ours, exp) and np.array_equal(pil, exp)
+
+
+def test_tga_16bit_555(rng, tmp_path):
+    import struct
+
+    h, w = 6, 9
+    v16 = rng.integers(0, 2 ** 15, (h, w), dtype=np.uint16)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 16,
+                      0x20)
+    p = str(tmp_path / "t16.tga")
+    with open(p, "wb") as f:
+        f.write(hdr + v16.astype("<u2").tobytes())
+    ours = native.decode_image_file(p)
+
+    def e5(f):
+        return ((f << 3) | (f >> 2)).astype(np.uint8)
+
+    exp = np.stack([e5((v16 >> 10) & 31), e5((v16 >> 5) & 31), e5(v16 & 31),
+                    np.full((h, w), 255, np.uint8)], -1)
+    assert np.array_equal(ours, exp)
