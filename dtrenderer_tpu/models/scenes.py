@@ -186,8 +186,12 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
         # tile_h=32/cap2048 audited zero-overflow for 1M tris at 4K
-        # (tests/test_overflow_audit.py pattern; tile 16 drops broad tris there)
-        opts = (dict(capacity=capacity, small_span=8)
+        # (tests/test_overflow_audit.py pattern; tile 16 drops broad tris
+        # there). pair_budget: real (tile,tri) pairs ~1.3x n_tris for this
+        # soup; 2x is audited headroom — the prefix-gather binning path cuts
+        # the dominant setup row-gather ~2x (tools/profile_4k.py attribution).
+        opts = (dict(capacity=capacity, small_span=8,
+                     pair_budget=2 * n_tris)
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
             # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
@@ -208,7 +212,8 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         return audit_scene(
             proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
             height, width, light=light, near_clip=False,
-            raster_opts=dict(capacity=capacity, small_span=8),
+            raster_opts=dict(capacity=capacity, small_span=8,
+                             pair_budget=2 * n_tris),
         )
 
     return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit)

@@ -53,6 +53,60 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _extract_ranges_rows(mat, starts, K: int, batch: int = 8):
+    """Row variant of _extract_ranges: out[i] = mat[starts[i] : starts[i]+K, :]
+    — per-tile CONTIGUOUS row ranges as a lax.map of 2D dynamic slices
+    (bandwidth-bound; row-gather latency does not apply to contiguous
+    slices). mat is padded by K zero rows so a slice at starts <= len(mat)
+    never clamps."""
+    n = starts.shape[0]
+    C = mat.shape[1]
+    mat = jnp.concatenate([mat, jnp.zeros((K, C), mat.dtype)])
+    pad = (-n) % batch
+    s = jnp.pad(starts, (0, pad))
+
+    def per_batch(sb):
+        return jax.vmap(
+            lambda st: jax.lax.dynamic_slice(mat, (st, 0), (K, C)))(sb)
+
+    out = jax.lax.map(per_batch, s.reshape(-1, batch)).reshape(-1, K, C)
+    return out[:n]
+
+
+def _compute_slab_bounds(yb, cnt_s, counts, n_ty: int, n_tx: int,
+                         tile_h: int, n_slabs: int, K: int):
+    """Per-slab conservative slot ranges for y-sorted bins (see Bins
+    docstring). yb: [n_tiles, K, 2] gathered (y0, y1) rows; cnt_s/counts:
+    [n_tiles] small-prefix and total counts."""
+    jK = jnp.arange(K, dtype=I32)[None, :]
+    valid_small = jK < cnt_s[:, None]                     # [n_tiles, K]
+    y0_s = jnp.where(valid_small, yb[..., 0], jnp.inf)
+    y1_s = jnp.where(valid_small, yb[..., 1], -jnp.inf)
+    max_h = jnp.maximum(jnp.max(y1_s - y0_s, axis=-1), 0.0)  # [n_tiles]
+    # slab s of tile row ti covers LOCAL pixel rows [lo, lo+7].
+    lo = (jnp.arange(n_ty, dtype=I32)[:, None] * tile_h
+          + jnp.arange(n_slabs, dtype=I32)[None, :] * 8).astype(jnp.float32)
+    lo4 = lo[:, None, :, None]                            # [n_ty,1,S,1]
+    hi4 = lo4 + 7.0
+    y0b = y0_s.reshape(n_ty, n_tx, 1, K)
+    mh4 = max_h.reshape(n_ty, n_tx, 1, 1)
+    # y0-sorted prefix whose y1 (<= y0+max_h) cannot reach the slab; exact
+    # suffix whose y0 is already past the slab. Broads (the unsorted
+    # [cnt_s, counts) suffix) get their OWN extra range entry — every slab
+    # walks it in a second (usually empty) chunk loop, so one broad
+    # triangle does not blow the tight small-triangle ends tile-wide.
+    # Re-visiting a slot in both loops would be harmless anyway: the
+    # (min z, min id) carry is idempotent.
+    start = jnp.sum(y0b < lo4 - mh4, axis=-1, dtype=I32)  # [n_ty,n_tx,S]
+    end = jnp.sum(y0b <= hi4, axis=-1, dtype=I32)
+    broad_rng = jnp.broadcast_to(
+        jnp.stack([cnt_s, counts], axis=-1).reshape(n_ty, n_tx, 1, 2),
+        (n_ty, n_tx, 1, 2))
+    return jnp.concatenate(
+        [jnp.stack([start, end], axis=-1), broad_rng], axis=2
+    )  # [n_ty, n_tx, S+1, 2]; entry S = the shared broad suffix
+
+
 def _extract_ranges(flat, starts, K: int, batch: int = 16):
     """out[i] = flat[starts[i] : starts[i] + K] for each tile i.
 
@@ -75,10 +129,93 @@ def _extract_ranges(flat, starts, K: int, batch: int = 16):
     return out[:n]
 
 
+def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
+                       broad_sel, n_broad, broad_dropped, perm,
+                       pair_budget: int, T: int, K: int, broad_cap: int,
+                       n_ty: int, n_tx: int, tile_h: int, n_slabs: int,
+                       y_sorted: bool) -> Bins:
+    """Prefix-gather bin assembly (see bin_triangles docstring, pair_budget).
+
+    Gathers table rows ONCE for the first Lp sorted pairs, then assembles the
+    [n_tiles, K] setup blocks from contiguous row slices — replacing the
+    n_tiles*K-row random gather whose per-row latency dominates binning at
+    high triangle counts. Produces the same Bins (incl. the padding-id
+    contract: slots >= count carry id -1)."""
+    n_tiles = n_ty * n_tx
+    Lp = max(int(pair_budget), 128)
+
+    # table rows: [coef (16)][payload (P)][id (1)][y0, y1 (2, y-sorted only)]
+    parts = [coef]
+    P = 0
+    if payload is not None:
+        P = payload.shape[1]
+        parts.append(payload)
+    parts.append(jax.lax.bitcast_convert_type(
+        jnp.arange(T, dtype=I32), jnp.float32)[:, None])
+    if y_sorted:
+        parts.append(bbox[:, (1, 3)].astype(jnp.float32))
+    table = jnp.concatenate(parts, axis=1)
+    if y_sorted:
+        table = table[perm]  # rank-ordered rows: ONE [T]-row gather
+    Cp = table.shape[1]
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    pad_row = jnp.concatenate([
+        jnp.zeros((16 + P,), jnp.float32), neg1[None],
+        jnp.zeros((Cp - 17 - P,), jnp.float32)])
+
+    # THE gather: Lp rows instead of n_tiles*K. Sentinel keys decode to row 0
+    # (garbage) — they sort after every real pair, so no tile range reaches
+    # them unless that tile's rows were cut by the budget (counted below).
+    ranks_pref = key_sorted[:Lp] % (T + 1)
+    table_g = table[jnp.minimum(ranks_pref, T - 1)]        # [Lp, Cp]
+
+    starts_c = jnp.minimum(starts[:-1], Lp)
+    small_rows = _extract_ranges_rows(table_g, starts_c, K)  # [n_tiles, K, Cp]
+
+    # capacity + budget caps; everything cut is counted, never silent
+    n_broad = jnp.minimum(n_broad, K)
+    cnt_s = jnp.minimum(jnp.minimum(counts_small, K - n_broad),
+                        jnp.maximum(Lp - starts[:-1], 0))
+    small_overflow = jnp.sum(counts_small - cnt_s)
+    counts = cnt_s + n_broad
+
+    # broad rows ride the same per-tile shifted-slice trick as the legacy
+    # path, on whole rows; empty slots are pad_row (id -1)
+    safe_b = jnp.maximum(broad_sel, 0)
+    rows_b = jnp.where((broad_sel >= 0)[:, None], table[safe_b],
+                       pad_row[None, :])
+    padded_b = jnp.concatenate([
+        jnp.broadcast_to(pad_row, (K, Cp)), rows_b,
+        jnp.broadcast_to(pad_row, (max(K - broad_cap, 0) + 1, Cp)),
+    ])
+    bvals_rows = _extract_ranges_rows(padded_b, K - cnt_s, K)
+
+    jj = jnp.arange(K, dtype=I32)[None, :]
+    take_small = (jj < cnt_s[:, None])[..., None]
+    rows = jnp.where(take_small, small_rows, bvals_rows)   # [n_tiles, K, Cp]
+
+    slab_bounds = None
+    if y_sorted:
+        slab_bounds = _compute_slab_bounds(
+            rows[..., 17 + P:19 + P], cnt_s, counts, n_ty, n_tx, tile_h,
+            n_slabs, K)
+
+    # reorder to the setup layout [coef][id][payload]
+    setup = jnp.concatenate(
+        [rows[..., :16], rows[..., 16 + P:17 + P], rows[..., 16:16 + P]],
+        axis=-1)
+    return Bins(
+        setup=setup.reshape(n_ty, n_tx, K, 17 + P),
+        counts=counts.reshape(n_ty, n_tx),
+        overflow=(small_overflow + broad_dropped).astype(I32),
+        slab_bounds=slab_bounds,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "n_slabs"),
+                     "small_span", "broad_cap", "n_slabs", "pair_budget"),
 )
 def bin_triangles(
     coef,
@@ -93,6 +230,7 @@ def bin_triangles(
     broad_cap: int = 128,
     payload=None,
     n_slabs: int = 1,
+    pair_budget: int | None = None,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
 
@@ -105,9 +243,22 @@ def bin_triangles(
     is semantically free; a superset range is always image-identical because
     the edge functions reject non-covering triangles anyway).
 
+    pair_budget: opt-in fast path for HIGH-triangle-count scenes (packed-key
+    domain only). The default path row-gathers the [n_tiles, K] setup table
+    (n_tiles*K rows, mostly padding; ~50 ns/row on TPU — the dominant binning
+    cost at 1M tris/4K). With a budget, table rows are gathered only for the
+    first `pair_budget` entries of the SORTED pair array (real pairs sort
+    before all sentinels, so the real-pair prefix is contiguous), and per-tile
+    blocks are then CONTIGUOUS row slices (bandwidth-bound, not row-latency-
+    bound). Bit-identical to the default path; pairs beyond the budget are
+    dropped and COUNTED in overflow (audit with pipeline.audit_scene — a
+    budget of ~2.5x the expected real pair count is safe). Ignored on the
+    multi-key fallback path.
+
     NOTE padding slots (slot >= counts[tile]) carry id -1 in the bitcast id
-    channel but GARBAGE (row-0) values in the coef/payload channels — consumers
-    must mask by id or by slot < count, never read padding values.
+    channel but GARBAGE (row-0 or neighbor-row) values in the coef/payload
+    channels — consumers must mask by id or by slot < count, never read
+    padding values.
     """
     T = coef.shape[0]
     n_ty = _ceil_div(height, tile_h)
@@ -159,6 +310,9 @@ def bin_triangles(
         perm = None
         rank_b = jnp.broadcast_to(tri_ids, tile.shape)
 
+    use_prefix = (packed_fits and pair_budget is not None
+                  and int(pair_budget) < T * small_span)
+
     if packed_fits:
         key = jnp.where(in_span, tile * (T + 1) + rank_b,
                         I32(n_tiles * (T + 1)))
@@ -167,7 +321,8 @@ def bin_triangles(
         starts = jnp.searchsorted(key_sorted, bounds)
         counts_small = (starts[1:] - starts[:-1]).astype(I32)  # [n_tiles]
         j = jnp.arange(K, dtype=I32)[None, :]                  # [1, K]
-        rank_g = _extract_ranges(key_sorted, starts[:-1], K) % (T + 1)
+        if not use_prefix:
+            rank_g = _extract_ranges(key_sorted, starts[:-1], K) % (T + 1)
     else:
         rank_val = jnp.where(in_span, rank_b, 0)
         tile_sorted, rank_sorted = jax.lax.sort(
@@ -178,12 +333,6 @@ def bin_triangles(
         counts_small = (starts[1:] - starts[:-1]).astype(I32)
         j = jnp.arange(K, dtype=I32)[None, :]
         rank_g = _extract_ranges(rank_sorted, starts[:-1], K)
-
-    # The per-tile lists stay in RANK space all the way to the final row
-    # gather: converting ranks to ids here would be another [n_tiles, K]
-    # gather from a [T] array (~10 ns/row); instead the setup TABLE is
-    # permuted once (a [T]-row gather) and carries the ids as a channel.
-    small_sel = jnp.where(j < counts_small[:, None], rank_g, -1)  # [n_tiles, K]
 
     # --- broad path: few triangles, processed by every tile ---
     broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
@@ -199,6 +348,20 @@ def bin_triangles(
                               rank[jnp.maximum(broad_ids, 0)], -1)
     else:
         broad_sel = broad_ids
+
+    if use_prefix:
+        return _bin_prefix_gather(
+            coef, bbox, payload, key_sorted, starts, counts_small,
+            broad_sel, n_broad, broad_dropped, perm,
+            int(pair_budget), T, K, broad_cap, n_ty, n_tx, tile_h, n_slabs,
+            y_sorted,
+        )
+
+    # The per-tile lists stay in RANK space all the way to the final row
+    # gather: converting ranks to ids here would be another [n_tiles, K]
+    # gather from a [T] array (~10 ns/row); instead the setup TABLE is
+    # permuted once (a [T]-row gather) and carries the ids as a channel.
+    small_sel = jnp.where(j < counts_small[:, None], rank_g, -1)  # [n_tiles, K]
 
     # --- merge: per tile, smalls first then broads, contiguous ---
     n_broad = jnp.minimum(n_broad, K)
@@ -239,33 +402,8 @@ def bin_triangles(
         yb = gathered[..., -2:]
         id_ch = gathered[..., -3]
         gathered = gathered[..., :-3]
-        jK = jnp.arange(K, dtype=I32)[None, :]
-        valid_small = jK < cnt_s[:, None]                     # [n_tiles, K]
-        y0_s = jnp.where(valid_small, yb[..., 0], jnp.inf)
-        y1_s = jnp.where(valid_small, yb[..., 1], -jnp.inf)
-        max_h = jnp.maximum(jnp.max(y1_s - y0_s, axis=-1), 0.0)  # [n_tiles]
-        # slab s of tile row ti covers LOCAL pixel rows [lo, lo+7].
-        lo = (jnp.arange(n_ty, dtype=I32)[:, None] * tile_h
-              + jnp.arange(n_slabs, dtype=I32)[None, :] * 8).astype(jnp.float32)
-        lo4 = lo[:, None, :, None]                            # [n_ty,1,S,1]
-        hi4 = lo4 + 7.0
-        y0b = y0_s.reshape(n_ty, n_tx, 1, K)
-        mh4 = max_h.reshape(n_ty, n_tx, 1, 1)
-        # y0-sorted prefix whose y1 (<= y0+max_h) cannot reach the slab; exact
-        # suffix whose y0 is already past the slab. Broads (the unsorted
-        # [cnt_s, counts) suffix) get their OWN extra range entry — every slab
-        # walks it in a second (usually empty) chunk loop, so one broad
-        # triangle does not blow the tight small-triangle ends tile-wide.
-        # Re-visiting a slot in both loops would be harmless anyway: the
-        # (min z, min id) carry is idempotent.
-        start = jnp.sum(y0b < lo4 - mh4, axis=-1, dtype=I32)  # [n_ty,n_tx,S]
-        end = jnp.sum(y0b <= hi4, axis=-1, dtype=I32)
-        broad_rng = jnp.broadcast_to(
-            jnp.stack([cnt_s, counts], axis=-1).reshape(n_ty, n_tx, 1, 2),
-            (n_ty, n_tx, 1, 2))
-        slab_bounds = jnp.concatenate(
-            [jnp.stack([start, end], axis=-1), broad_rng], axis=2
-        )  # [n_ty, n_tx, S+1, 2]; entry S = the shared broad suffix
+        slab_bounds = _compute_slab_bounds(
+            yb, cnt_s, counts, n_ty, n_tx, tile_h, n_slabs, K)
 
     # Padding slots keep row-0 GARBAGE in coef/payload (zero-filling them costs
     # a full [tiles*K, C] select); only the id channel marks them (-1). The

@@ -270,7 +270,7 @@ def draw_mesh(
             raster_opts = {
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
-                             "use_ybounds", "batch_rows")
+                             "use_ybounds", "batch_rows", "pair_budget")
             }
 
     if mvp is None:

@@ -162,6 +162,7 @@ def rasterize_pallas(
     small_span: int = 16,
     broad_cap: int = 128,
     interpret: bool | None = None,
+    pair_budget: int | None = None,
 ):
     """Binned tiled visibility raster. Returns (z, tri, overflow) — like
     rasterize_ref (+offsets) plus the bin-overflow count (dropped (tile, tri)
@@ -197,6 +198,7 @@ def rasterize_pallas(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
+        pair_budget=pair_budget,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     z, tri = _raster_from_bins(

@@ -877,6 +877,7 @@ def render_fused(
     layout: PayloadLayout = FULL_LAYOUT,
     use_ybounds: bool | None = None,
     batch_rows: int | None = None,
+    pair_budget: int | None = None,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -953,12 +954,19 @@ def render_fused(
         coef, local, in_shard, payload, compact_dropped = _compact_to_shard(
             coef, local, in_shard, payload, shard_budget
         )
+    if pair_budget is not None:
+        # After band compaction the table holds only ~the band's triangles;
+        # a scene-level pair budget would over-gather. 3x the (possibly
+        # compacted) triangle count keeps generous skew headroom — real pairs
+        # are ~1.3x T for tiny-triangle scenes (misses are counted).
+        pair_budget = min(int(pair_budget), 3 * coef.shape[0])
 
     bins = bin_triangles(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
         payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
+        pair_budget=pair_budget,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(

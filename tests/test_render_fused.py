@@ -394,3 +394,83 @@ def test_fused_tri_sorted_depth_tie_broad_vs_small():
     assert ca[cy, cx, 0] == 1.0 and ca[cy, cx, 2] == 0.0, "ref must pick id 0"
     assert np.array_equal(ca, cb)
     assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+
+def _bins_equal(a, b):
+    """Bins equality on MEANINGFUL slots: counts, overflow, and every slot
+    below count (padding carries garbage coef/payload by contract — only its
+    id channel must be -1 in both)."""
+    import jax
+
+    ca, cb = np.asarray(a.counts), np.asarray(b.counts)
+    assert np.array_equal(ca, cb), "counts differ"
+    assert int(np.asarray(a.overflow)) == int(np.asarray(b.overflow))
+    sa, sb = np.asarray(a.setup), np.asarray(b.setup)
+    K = sa.shape[2]
+    valid = np.arange(K)[None, None, :] < ca[..., None]
+    assert np.array_equal(sa[valid], sb[valid]), "valid slot rows differ"
+    ids_a = np.asarray(jax.numpy.asarray(sa[..., 16]).view(np.int32))
+    ids_b = sb[..., 16].view(np.int32)
+    assert np.all(ids_a[~valid] == -1) and np.all(ids_b[~valid] == -1), (
+        "padding slots must carry id -1")
+    if a.slab_bounds is not None or b.slab_bounds is not None:
+        assert np.array_equal(np.asarray(a.slab_bounds),
+                              np.asarray(b.slab_bounds))
+
+
+@pytest.mark.parametrize("n_slabs", [1, 4])
+def test_binning_pair_budget_matches_default(n_slabs):
+    """The prefix-gather binning path (pair_budget) must produce EXACTLY the
+    same bins as the default path — counts, valid slot rows, padding-id
+    contract, slab bounds, overflow."""
+    from dtrenderer_tpu.ops.binning import bin_triangles
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    soup = primitives.random_triangle_soup(3_000, rng_seed=13, extent=1.2)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.3)))
+    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                                make_light(), (1, 1, 1, 1), "gouraud",
+                                W, H, True, False)
+    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
+    kw = dict(tile_h=32, tile_w=128, capacity=2048, small_span=4,
+              broad_cap=64, payload=payload, n_slabs=n_slabs)
+    base = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W, **kw)
+    pref = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
+                         pair_budget=8_000, **kw)
+    _bins_equal(base, pref)
+    assert int(np.asarray(pref.overflow)) == 0
+
+
+def test_binning_pair_budget_too_small_counts_overflow():
+    from dtrenderer_tpu.ops.binning import bin_triangles
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    soup = primitives.random_triangle_soup(2_000, rng_seed=13, extent=1.2)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.3)))
+    setup, _ = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                            make_light(), (1, 1, 1, 1), "gouraud",
+                            W, H, True, False)
+    tiny = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
+                         tile_h=32, capacity=256, small_span=4,
+                         pair_budget=128)
+    assert int(np.asarray(tiny.overflow)) > 0, (
+        "a too-small pair_budget must COUNT its drops, never hide them")
+
+
+def test_fused_pair_budget_image_identical():
+    """End-to-end: a fused render with pair_budget on equals the default path
+    byte-for-byte."""
+    soup = primitives.random_triangle_soup(2_500, rng_seed=17, extent=1.1)
+
+    def run(opts):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        return draw_mesh(fb, soup, MODEL, PROJ, shading="gouraud",
+                         backend="fused", near_clip=False, raster_opts=opts)
+
+    a = run(dict(capacity=512, small_span=4))
+    b = run(dict(capacity=512, small_span=4, pair_budget=7_000))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
