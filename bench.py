@@ -134,6 +134,21 @@ def main():
         extra["4k_frame_ms"] = round(dt4k * 1000, 1)
         extra["4k_mtris_s"] = round(tris4k / dt4k / 1e6, 2)
 
+        # ---- multi-chip scaling EVIDENCE from one chip (tools/band_sweep):
+        # render the fill scene as 8 sequential bands (the per-device work of
+        # an 8-row shard_map, auto shard_budget active) and project the
+        # 8-chip wall-clock from the measured per-band overhead instead of
+        # assuming linear scaling.
+        band_dt = run_band8_bench(h, w, sphere, tex, proj, light, models)
+        extra["band8_sum_ms"] = round(band_dt * 1000, 2)
+        speedup = dt / (band_dt / 8)
+        extra["fill_8chip_projected_speedup"] = round(speedup, 2)
+        extra["fill_8chip_projected_gpix_s"] = round(
+            covered / (band_dt / 8) / 1e9, 2)
+        print(f"bench(band8): sum-of-8-bands {band_dt*1000:.2f} ms -> "
+              f"projected 8-chip speedup x{speedup:.2f}, "
+              f"{extra['fill_8chip_projected_gpix_s']} Gpix/s", file=sys.stderr)
+
     per_chip_target = 1e9 / 8 / 1e6  # 125 Mpix/s
     print(json.dumps({
         "metric": "shaded_fill_rate_1080p_single_chip",
@@ -142,6 +157,43 @@ def main():
         "vs_baseline": round(mpix_s / per_chip_target, 3),
         "extra": extra,
     }))
+
+
+def run_band8_bench(h, w, sphere, tex, proj, light, models):
+    """Sum-of-8-bands render of the fill scene (full-frame viewport, y_offset
+    per band, auto shard_budget) — one device doing all 8 devices' work in
+    sequence. tile_h=32 so band tiling is comparable across band heights."""
+    from dtrenderer_tpu.models import primitives  # noqa: F401 (parity w/ main)
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
+    from dtrenderer_tpu.utils import math3d as m3
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    k = 8
+    band_h = h // k
+    opts = dict(tile_h=32, tile_w=128, capacity=256, batch_rows=32)
+
+    def frame(color, depth, t):
+        rot_t = m3.rotate_y(t - jnp.float32(0.5))
+        draws = [DrawSpec(sphere, m3.mat4mul(mdl, rot_t), texture=tex,
+                          shading="phong") for mdl in models]
+        outs_c, outs_d = [], []
+        for b in range(k):
+            bh = band_h if b < k - 1 else h - band_h * (k - 1)
+            fb = fblib.clear(
+                fblib.create(bh, w),
+                jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+            fb = draw_meshes(fb, proj, draws, light=light,
+                             sampling_mode="bilinear", frame_height=h,
+                             frame_width=w, y_offset=b * band_h,
+                             raster_opts=opts)
+            outs_c.append(fb.color)
+            outs_d.append(fb.depth)
+        return jnp.concatenate(outs_c, 0), jnp.concatenate(outs_d, 0)
+
+    fb0 = fblib.create(h, w)
+    return device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5),
+                       iters=8, repeats=3)
 
 
 def run_4k_bench():

@@ -175,7 +175,7 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
 
 
 def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
-                 capacity=2048) -> SceneSpec:
+                 capacity=1536) -> SceneSpec:
     """1M-triangle stress soup at 4K (per-shard use via parallel/shard.py)."""
     soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
     tex = primitives.gradient_texture(64)
@@ -185,13 +185,14 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
     def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
         fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
-        # tile_h=32/cap2048 audited zero-overflow for 1M tris at 4K
-        # (tests/test_overflow_audit.py pattern; tile 16 drops broad tris
-        # there). pair_budget: real (tile,tri) pairs ~1.3x n_tris for this
-        # soup; 2x is audited headroom — the prefix-gather binning path cuts
-        # the dominant setup row-gather ~2x (tools/profile_4k.py attribution).
+        # tile_h=32/cap1536 audited zero-overflow for 1M tris at 4K (max bin
+        # count 1228; tile 16 drops broad tris, small_span 4 spills ~12.7k
+        # broad pairs). pair_budget: real (tile,tri) pairs ~1.28x n_tris for
+        # this soup; 1.7x is audited headroom — the prefix-gather binning
+        # path cuts the dominant setup row-gather (tools/profile_4k.py
+        # attribution; 402 -> 240 ms with these settings).
         opts = (dict(capacity=capacity, small_span=8,
-                     pair_budget=2 * n_tris)
+                     pair_budget=int(1.7 * n_tris))
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
             # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
@@ -213,7 +214,7 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
             proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
             height, width, light=light, near_clip=False,
             raster_opts=dict(capacity=capacity, small_span=8,
-                             pair_budget=2 * n_tris),
+                             pair_budget=int(1.7 * n_tris)),
         )
 
     return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit)

@@ -253,7 +253,10 @@ def bin_triangles(
     bound). Bit-identical to the default path; pairs beyond the budget are
     dropped and COUNTED in overflow (audit with pipeline.audit_scene — a
     budget of ~2.5x the expected real pair count is safe). Ignored on the
-    multi-key fallback path.
+    multi-key fallback path. ONLY a win when the row gather dominates
+    (n_tiles*K ≳ 1M rows: 4K/1M tris went 402 -> 240 ms); at soup scale
+    (1020x512) the row-block slices cost MORE than the ~5 ms gather they
+    replace (measured 19.9 -> 27 ms — don't use it there).
 
     NOTE padding slots (slot >= counts[tile]) carry id -1 in the bitcast id
     channel but GARBAGE (row-0 or neighbor-row) values in the coef/payload
