@@ -8,6 +8,7 @@ oracle. For opaque geometry the ordered path must agree with the order-free path
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from dtrenderer_tpu.models.mesh import make_mesh
 from dtrenderer_tpu.models import primitives
@@ -197,3 +198,26 @@ def test_draw_meshes_interleaved_opaque_translucent_opaque():
                      sampling_mode="nearest", backend="fused")
     assert np.array_equal(np.asarray(fb_a.color), np.asarray(fb_b.color))
     assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
+
+
+@pytest.mark.parametrize("window", [(8, 32), (16, 128), (64, 128), None])
+def test_ordered_window_sizes_bit_equal(window):
+    """draw_mesh_ordered must be bit-equal at ANY window size (the bbox
+    window changes evaluation SHAPE, never values), including windows far
+    smaller than some triangles (full-frame fallback) and None (always
+    full-frame)."""
+    soup = primitives.random_triangle_soup(60, rng_seed=33, extent=1.3)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.5), m3.rotate_y(0.4)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+
+    def run(win):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_mesh_ordered(fb, soup, mdl, proj, light=light,
+                                 color=(0.8, 0.4, 0.3, 0.5), shading="none",
+                                 window=win)
+
+    ref = run((H, W))  # window == frame: the pre-window code path
+    got = run(window)
+    assert np.array_equal(np.asarray(ref.color), np.asarray(got.color))
+    assert np.array_equal(np.asarray(ref.depth), np.asarray(got.depth))
