@@ -1,5 +1,7 @@
 """Benchmark scene smoke tests + aux subsystems (checkpoint, timers, counters)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,3 +104,21 @@ def test_frame_timer():
         ft.tick()
     assert len(ft.samples) == 4
     assert ft.mean_ms >= 0.0
+
+
+def test_hwgate_stamp_tracks_kernel_sources(tmp_path, monkeypatch):
+    """The hardware-gate stamp is keyed by kernel-source CONTENT: writing a
+    stamp validates the current code, and any source change (even
+    uncommitted) invalidates it."""
+    from dtrenderer_tpu.utils import hwgate
+
+    monkeypatch.setattr(hwgate, "STAMP_DIR", str(tmp_path))
+    assert hwgate.check_stamp() is not None  # fresh dir: no stamp
+    p = hwgate.write_stamp()
+    assert os.path.exists(p)
+    assert hwgate.check_stamp() is None
+
+    # simulate a kernel edit by monkeypatching the hash
+    monkeypatch.setattr(hwgate, "kernel_hash", lambda: "deadbeefdeadbeef")
+    warn = hwgate.check_stamp()
+    assert warn is not None and "deadbeef" in warn
