@@ -278,14 +278,25 @@ static void decode_bmp(const uint8_t* d, int64_t n, DtrImage* im) {
     }
     n_pal = (int)ncol;
   }
-  // 16-bit channel masks: 555 default, BI_BITFIELDS override
-  uint32_t mr = 0x7C00, mg = 0x03E0, mb = 0x001F, ma = 0;
-  if (bpp == 16 && comp == 3) {
-    if (14 + hsz + 12 > (uint64_t)n && hsz < 52) { img_err(im, "bmp: bad masks"); return; }
-    const uint8_t* mp = hsz >= 52 ? d + 14 + 40 : d + 14 + hsz;
+  // channel masks: 5-5-5 (16 bpp) / BGRX (32 bpp) defaults, BI_BITFIELDS
+  // overrides for both (stb honors the masks at either depth)
+  uint32_t mr = bpp == 32 ? 0x00FF0000 : 0x7C00;
+  uint32_t mg = bpp == 32 ? 0x0000FF00 : 0x03E0;
+  uint32_t mb = bpp == 32 ? 0x000000FF : 0x001F;
+  uint32_t ma = 0;
+  bool use_masks = bpp == 16;
+  if ((bpp == 16 || bpp == 32) && comp == 3) {
+    // V2+ headers (hsz >= 52) embed the masks at the fixed V1 offset; V1
+    // headers append them right after the 40-byte header
+    size_t moff = hsz >= 52 ? 14 + 40 : 14 + hsz;
+    if (moff + 12 > (uint64_t)n) { img_err(im, "bmp: bad masks"); return; }
+    const uint8_t* mp = d + moff;
     mr = *(const uint32_t*)(mp + 0);
     mg = *(const uint32_t*)(mp + 4);
     mb = *(const uint32_t*)(mp + 8);
+    if (hsz >= 56 && moff + 16 <= (uint64_t)n)
+      ma = *(const uint32_t*)(mp + 12);
+    use_masks = true;
   }
   int64_t stride = (((int64_t)w * bpp + 7) / 8 + 3) & ~3;
   if ((int64_t)off + stride * ah > n) { img_err(im, "bmp: truncated data"); return; }
@@ -308,8 +319,13 @@ static void decode_bmp(const uint8_t* d, int64_t n, DtrImage* im) {
         int idx = (row[bit >> 3] >> (8 - bpp - (bit & 7))) & ((1 << bpp) - 1);
         if (idx >= n_pal) idx = 0;
         memcpy(out + x * 4, pal[idx], 4);
-      } else if (bpp == 16) {
-        uint16_t v = (uint16_t)(row[x * 2] | (row[x * 2 + 1] << 8));
+      } else if (use_masks && (bpp == 16 || bpp == 32)) {
+        uint32_t v;
+        if (bpp == 16) {
+          v = (uint32_t)(row[x * 2] | (row[x * 2 + 1] << 8));
+        } else {
+          memcpy(&v, row + (size_t)x * 4, 4);
+        }
         out[x * 4 + 0] = expand((v & mr) >> rs, rb);
         out[x * 4 + 1] = expand((v & mg) >> gs, gb);
         out[x * 4 + 2] = expand((v & mb) >> bs, bb);
@@ -385,6 +401,7 @@ static void decode_tga(const uint8_t* d, int64_t n, DtrImage* im) {
   // decode the colormap into RGBA
   std::vector<uint8_t> palette;
   if (mapped) {
+    if (cm_len <= 0) { img_err(im, "tga: empty colormap"); return; }
     int cm_bypp = (cm_bpp + 7) / 8;
     if (end - p < (int64_t)cm_len * cm_bypp) {
       img_err(im, "tga: truncated colormap");
@@ -1126,7 +1143,8 @@ struct JComp {
 };
 
 struct JDec {
-  uint16_t qt[4][64];  // zigzag order, as stored
+  uint16_t qt[4][64] = {};  // zigzag order, as stored
+  bool qt_ok[4] = {};       // table actually loaded by a DQT segment
   JHuff dc[4], ac[4];
   int w = 0, h = 0, ncomp = 0;
   JComp comp[4];
@@ -1367,6 +1385,9 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
   int scans = 0;
   while (p + 4 <= n) {
     if (d[p] != 0xFF) return "jpg: marker sync lost";
+    // legal 0xFF fill bytes may precede any marker (T.81 B.1.1.2)
+    while (p + 1 < n && d[p + 1] == 0xFF) p++;
+    if (p + 2 > n) break;
     uint8_t m = d[p + 1];
     p += 2;
     if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
@@ -1382,6 +1403,7 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
         int pq = seg[q] >> 4, tq = seg[q] & 15;
         if (tq > 3) return "jpg: bad DQT id";
         q++;
+        if (q + (pq ? 128 : 64) > slen) return "jpg: truncated DQT";
         for (int i = 0; i < 64; i++) {
           if (pq) {
             jd.qt[tq][i] = ((uint16_t)seg[q] << 8) | seg[q + 1];
@@ -1390,6 +1412,7 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
             jd.qt[tq][i] = seg[q++];
           }
         }
+        jd.qt_ok[tq] = true;
       }
     } else if (m == 0xC4) {  // DHT
       size_t q = 0;
@@ -1479,6 +1502,7 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
           return "jpg: missing DC table";
         if ((Se > 0 || !jd.progressive) && !jd.ac[scomp[i]->ac_tbl].ok)
           return "jpg: missing AC table";
+        if (!jd.qt_ok[scomp[i]->tq]) return "jpg: missing quant table";
       }
       JBits br{d + p + len, n - p - len, 0};
       const char* serr =

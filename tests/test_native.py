@@ -462,3 +462,63 @@ def test_tga_16bit_555(rng, tmp_path):
     exp = np.stack([e5((v16 >> 10) & 31), e5((v16 >> 5) & 31), e5(v16 & 31),
                     np.full((h, w), 255, np.uint8)], -1)
     assert np.array_equal(ours, exp)
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input robustness (round-3 review findings: attacker-controlled
+# asset files must produce clean errors, never OOB reads / garbage decode)
+# ---------------------------------------------------------------------------
+
+def test_tga_empty_colormap_rejected():
+    import struct
+
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 0, 24, 0, 0, 4, 4, 8, 0x20)
+    with pytest.raises(IOError, match="colormap"):
+        native.decode_image_bytes(hdr + b"\x00" * 16)
+
+
+def test_jpg_truncated_dqt_rejected():
+    jpg = b"\xff\xd8" + b"\xff\xdb\x00\x03\x00" + b"\xff\xd9"
+    with pytest.raises(IOError, match="DQT"):
+        native.decode_image_bytes(jpg)
+
+
+def test_jpg_missing_quant_table_rejected(rng, tmp_path):
+    """A JPEG whose DQT segment is stripped must error, not dequantize with
+    uninitialized tables."""
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8), "RGB").save(buf, "JPEG")
+    data = bytearray(buf.getvalue())
+    i = bytes(data).find(b"\xff\xdb")
+    ln = (data[i + 2] << 8) | data[i + 3]
+    del data[i:i + 2 + ln]
+    with pytest.raises(IOError, match="quant"):
+        native.decode_image_bytes(bytes(data))
+
+
+def test_jpg_fill_bytes_before_marker_ok():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2)."""
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 90, np.uint8), "RGB").save(buf, "JPEG")
+    d = buf.getvalue()
+    assert d.endswith(b"\xff\xd9")
+    out = native.decode_image_bytes(d[:-2] + b"\xff\xff\xd9")
+    assert out.shape == (8, 8, 4)
+
+
+def test_bmp_32bpp_bitfields_honored():
+    """BI_BITFIELDS masks apply at 32 bpp too (RGBA-order masks must not
+    decode as BGRA)."""
+    import struct
+
+    h, w = 2, 3
+    px = np.arange(h * w * 4, dtype=np.uint8).reshape(h, w, 4)
+    rows = b"".join(px[y].tobytes() for y in range(h - 1, -1, -1))
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 12 + len(rows), 0, 0,
+                              14 + 40 + 12)
+    info = struct.pack("<IiiHHIIiiII", 52, w, h, 1, 32, 3, len(rows),
+                       0, 0, 0, 0)
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    out = native.decode_image_bytes(hdr + info + masks + rows)
+    assert np.array_equal(out[:, :, 0], px[:, :, 0])  # R from the LOW byte
+    assert np.array_equal(out[:, :, 2], px[:, :, 2])
