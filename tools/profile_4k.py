@@ -65,25 +65,29 @@ def main():
         payload = pack_payload(attrs10, layout, (0, 64, 64), 0.0)
         return setup.coef, setup.bbox, setup.valid, payload
 
-    def bin_only(tile_h, small_span, cap, n_slabs):
+    def bin_only(tile_h, small_span, cap, n_slabs, pair_budget=None):
         def f(t):
             coef, bbox, valid, payload = prep_pack(t)
             bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
                                  tile_w=128, capacity=cap,
                                  small_span=small_span, broad_cap=128,
-                                 payload=payload, n_slabs=n_slabs)
+                                 payload=payload, n_slabs=n_slabs,
+                                 pair_budget=pair_budget)
             return bins.setup, bins.counts
         return f
 
-    cfg = dict(capacity=2048, small_span=8, chunk=16, use_ybounds=False,
-               cols=2)
+    # CURRENT production config-5 settings (models/scenes.make_config5):
+    # cap 1536, small_span 8, prefix-gather pair_budget 1.7x, t32, no slab
+    # culling, cols=2. Splits the 240-257 ms frame into prep / bin / phase1 /
+    # full to find the round-3 wall.
+    budget = int(1.7 * n_tris)
+    cfg = dict(capacity=1536, small_span=8, chunk=16, use_ybounds=False,
+               cols=2, pair_budget=budget)
     variants = [
         ("prep+pack only", prep_pack, False),
-        ("bin-only t32 noyb", bin_only(32, 8, 2048, 1), False),
-        ("full t32 noyb (r2 cfg)", make_frame(dict(cfg)), True),
-        ("phase1 t32 noyb", make_frame(dict(cfg, skip_shading=True)), True),
-        ("full t32 YB", make_frame(dict(cfg, use_ybounds=True)), True),
-        ("bin-only t32 yb", bin_only(32, 8, 2048, 4), False),
+        ("bin-only CURRENT (prefix)", bin_only(32, 8, 1536, 1, budget), False),
+        ("phase1 CURRENT", make_frame(dict(cfg, skip_shading=True)), True),
+        ("full CURRENT", make_frame(dict(cfg)), True),
     ]
     for name, fn, takes_fb in variants:
         try:
