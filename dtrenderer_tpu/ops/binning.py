@@ -133,14 +133,29 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
                        broad_sel, n_broad, broad_dropped, perm,
                        pair_budget: int, T: int, K: int, broad_cap: int,
                        n_ty: int, n_tx: int, tile_h: int, n_slabs: int,
-                       y_sorted: bool) -> Bins:
+                       rank_space: bool, y_sorted: bool,
+                       gather_bands: int = 1, band_window: int = 0,
+                       y0_sorted=None, max_h=None) -> Bins:
     """Prefix-gather bin assembly (see bin_triangles docstring, pair_budget).
 
     Gathers table rows ONCE for the first Lp sorted pairs, then assembles the
     [n_tiles, K] setup blocks from contiguous row slices — replacing the
     n_tiles*K-row random gather whose per-row latency dominates binning at
     high triangle counts. Produces the same Bins (incl. the padding-id
-    contract: slots >= count carry id -1)."""
+    contract: slots >= count carry id -1).
+
+    gather_bands = B > 1 (requires rank_space): split the Lp-row gather into
+    B per-tile-row-band gathers of Lp/B rows, each from a [band_window]-row
+    window of the y0-RANK-ordered table (pairs sort tile-major, so sorted-
+    prefix rows are band-contiguous; a band's pairs reference only triangles
+    whose y span reaches it, a window of the y0-sorted table bounded via
+    searchsorted + the max small-triangle bbox height). XLA TPU row-gather
+    cost per row GROWS with the source-table size (measured
+    tools/micro_gather4k.py: 6.6 ns/row from a 125k-row table vs 17.5+ from
+    1M), so B sub-gathers beat one big one ~2.5x at 1M tris. Real pairs whose
+    rank falls outside the static window are dropped as pad rows and COUNTED
+    in overflow (never silent; pad rows have all-zero edge coefficients and
+    can never rasterize)."""
     n_tiles = n_ty * n_tx
     Lp = max(int(pair_budget), 128)
 
@@ -155,7 +170,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     if y_sorted:
         parts.append(bbox[:, (1, 3)].astype(jnp.float32))
     table = jnp.concatenate(parts, axis=1)
-    if y_sorted:
+    if rank_space:
         table = table[perm]  # rank-ordered rows: ONE [T]-row gather
     Cp = table.shape[1]
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
@@ -163,19 +178,62 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
         jnp.zeros((16 + P,), jnp.float32), neg1[None],
         jnp.zeros((Cp - 17 - P,), jnp.float32)])
 
-    # THE gather: Lp rows instead of n_tiles*K. Sentinel keys decode to row 0
-    # (garbage) — they sort after every real pair, so no tile range reaches
-    # them unless that tile's rows were cut by the budget (counted below).
-    ranks_pref = key_sorted[:Lp] % (T + 1)
-    table_g = table[jnp.minimum(ranks_pref, T - 1)]        # [Lp, Cp]
+    B = int(gather_bands)
+    if B > 1:
+        # --- banded gather: B windowed sub-gathers of Lb rows each ---
+        W = int(band_window)
+        Lb = _ceil_div(Lp, B)
+        L_total = key_sorted.shape[0]
+        rows_per_band = _ceil_div(n_ty, B)
+        iota_lb = jnp.arange(Lb, dtype=I32)
+        pstarts, chunks = [], []
+        oow = jnp.zeros((), I32)
+        for b in range(B):
+            tile_lo = min(b * rows_per_band * n_tx, n_tiles)
+            tile_hi = min((b + 1) * rows_per_band * n_tx, n_tiles)
+            p_lo = jnp.minimum(starts[tile_lo], I32(L_total - Lb))
+            pstarts.append(p_lo)
+            key_b = jax.lax.dynamic_slice(key_sorted, (p_lo,), (Lb,))
+            ranks = key_b % (T + 1)
+            # triangles reaching this band have y0 >= band_y_lo - max_h
+            lo_y = I32(b * rows_per_band * tile_h) - max_h
+            win_lo = jnp.clip(jnp.searchsorted(y0_sorted, lo_y).astype(I32),
+                              0, T - W)
+            sub = jax.lax.dynamic_slice(table, (win_lo, 0), (W, Cp))
+            local = ranks - win_lo
+            in_win = (local >= 0) & (local < W)
+            chunks.append(jnp.where(in_win[:, None],
+                                    sub[jnp.clip(local, 0, W - 1)],
+                                    pad_row[None, :]))
+            # count real pairs of THIS band that missed the window (a too-
+            # small band_window; pad rows never rasterize, so this is a
+            # counted drop, not corruption)
+            gpos = p_lo + iota_lb
+            realb = (gpos >= starts[tile_lo]) & (gpos < starts[tile_hi])
+            oow = oow + jnp.sum((realb & ~in_win).astype(I32))
+        table_g = jnp.concatenate(chunks)                   # [B*Lb, Cp]
+        band_of_tile = jnp.minimum(
+            jnp.arange(n_tiles, dtype=I32) // (rows_per_band * n_tx), B - 1)
+        pst_t = jnp.stack(pstarts)[band_of_tile]            # [n_tiles]
+        starts_c = jnp.clip(band_of_tile * Lb + (starts[:-1] - pst_t),
+                            0, B * Lb)
+        budget_cap = jnp.maximum(pst_t + Lb - starts[:-1], 0)
+    else:
+        # THE gather: Lp rows instead of n_tiles*K. Sentinel keys decode to
+        # row 0 (garbage) — they sort after every real pair, so no tile range
+        # reaches them unless that tile's rows were cut by the budget
+        # (counted below).
+        ranks_pref = key_sorted[:Lp] % (T + 1)
+        table_g = table[jnp.minimum(ranks_pref, T - 1)]     # [Lp, Cp]
+        starts_c = jnp.minimum(starts[:-1], Lp)
+        budget_cap = jnp.maximum(Lp - starts[:-1], 0)
+        oow = jnp.zeros((), I32)
 
-    starts_c = jnp.minimum(starts[:-1], Lp)
     small_rows = _extract_ranges_rows(table_g, starts_c, K)  # [n_tiles, K, Cp]
 
     # capacity + budget caps; everything cut is counted, never silent
     n_broad = jnp.minimum(n_broad, K)
-    cnt_s = jnp.minimum(jnp.minimum(counts_small, K - n_broad),
-                        jnp.maximum(Lp - starts[:-1], 0))
+    cnt_s = jnp.minimum(jnp.minimum(counts_small, K - n_broad), budget_cap)
     small_overflow = jnp.sum(counts_small - cnt_s)
     counts = cnt_s + n_broad
 
@@ -207,7 +265,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     return Bins(
         setup=setup.reshape(n_ty, n_tx, K, 17 + P),
         counts=counts.reshape(n_ty, n_tx),
-        overflow=(small_overflow + broad_dropped).astype(I32),
+        overflow=(small_overflow + broad_dropped + oow).astype(I32),
         slab_bounds=slab_bounds,
     )
 
@@ -215,7 +273,8 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "n_slabs", "pair_budget"),
+                     "small_span", "broad_cap", "n_slabs", "pair_budget",
+                     "gather_bands", "band_window"),
 )
 def bin_triangles(
     coef,
@@ -231,6 +290,8 @@ def bin_triangles(
     payload=None,
     n_slabs: int = 1,
     pair_budget: int | None = None,
+    gather_bands: int = 1,
+    band_window: int | None = None,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
 
@@ -257,6 +318,18 @@ def bin_triangles(
     (n_tiles*K ≳ 1M rows: 4K/1M tris went 402 -> 240 ms); at soup scale
     (1020x512) the row-block slices cost MORE than the ~5 ms gather they
     replace (measured 19.9 -> 27 ms — don't use it there).
+
+    gather_bands (with pair_budget only): split the prefix gather into B
+    per-tile-row-band gathers from [band_window]-row windows of the y0-sorted
+    table — TPU row-gather cost per row grows with source-table size, so sub-
+    table gathers are ~2.5x cheaper at 1M tris (see _bin_prefix_gather).
+    IMAGE-identical but NOT slot-order-identical when n_slabs == 1: bins come
+    out y0-rank-ordered, not id-ordered, so the fused kernel must tie-break
+    depth by the id channel (render_fused forces tie_by_id). band_window:
+    static window rows (None = 2x the mean band share, rounded up); real pairs
+    whose triangle misses the window are dropped AND counted in overflow —
+    audit after changing it. Uniform scenes fit easily; pathologically
+    y-clustered scenes need a bigger window or gather_bands=1.
 
     NOTE padding slots (slot >= counts[tile]) carry id -1 in the bitcast id
     channel but GARBAGE (row-0 or neighbor-row) values in the coef/payload
@@ -300,21 +373,39 @@ def bin_triangles(
     tri_ids = jnp.arange(T, dtype=I32)[:, None]
     packed_fits = (n_tiles + 1) * (T + 1) <= 2**31 - 1
     y_sorted = n_slabs > 1
-    if y_sorted:
+    use_prefix = (packed_fits and pair_budget is not None
+                  and int(pair_budget) < T * small_span)
+    # banded gather config (prefix path only; see docstring)
+    B = int(gather_bands) if (use_prefix and gather_bands) else 1
+    B = max(1, min(B, n_ty))
+    W = 0
+    if B > 1:
+        W = (int(band_window) if band_window is not None
+             else 2 * _ceil_div(T, B))
+        W = min(max(W, 1), T)
+        if W >= T:
+            B = 1  # window spans the whole table: bands are pure overhead
+    # rank space: per-tile lists ordered by y0-rank instead of id. Needed for
+    # slab bounds (y_sorted) and for banded-gather window locality. The sort
+    # key masks non-small triangles to the end (broads/invalid never enter
+    # the pair lists, and compact windows want only pair-able rows in front).
+    rank_space = y_sorted or B > 1
+    y0_sorted = max_h = None
+    if rank_space:
         iota_t = jnp.arange(T, dtype=I32)
-        _, perm = jax.lax.sort(
-            (bbox[:, 1], iota_t), num_keys=2
+        y0s = jnp.where(small, bbox[:, 1], I32(2**30))
+        y0_sorted, perm = jax.lax.sort(
+            (y0s, iota_t), num_keys=2
         )  # perm[r] = id of the r-th triangle ordered by (y0, id)
         # inverse permutation WITHOUT a scatter (XLA TPU scatters are slow):
         # sorting perm back to iota carries each rank to its id's position.
         _, rank = jax.lax.sort((perm, iota_t), num_keys=1)
         rank_b = jnp.broadcast_to(rank[:, None], tile.shape)
+        if B > 1:
+            max_h = jnp.max(jnp.where(small, bbox[:, 3] - bbox[:, 1], 0))
     else:
         perm = None
         rank_b = jnp.broadcast_to(tri_ids, tile.shape)
-
-    use_prefix = (packed_fits and pair_budget is not None
-                  and int(pair_budget) < T * small_span)
 
     if packed_fits:
         key = jnp.where(in_span, tile * (T + 1) + rank_b,
@@ -346,7 +437,7 @@ def bin_triangles(
     jb = jnp.arange(broad_cap, dtype=I32)
     broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)      # [broad_cap]
     broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - broad_cap, 0)
-    if y_sorted:  # ranks of the broad ids ([broad_cap]-row gather: negligible)
+    if rank_space:  # ranks of the broad ids ([broad_cap]-row gather: negligible)
         broad_sel = jnp.where(broad_ids >= 0,
                               rank[jnp.maximum(broad_ids, 0)], -1)
     else:
@@ -357,7 +448,8 @@ def bin_triangles(
             coef, bbox, payload, key_sorted, starts, counts_small,
             broad_sel, n_broad, broad_dropped, perm,
             int(pair_budget), T, K, broad_cap, n_ty, n_tx, tile_h, n_slabs,
-            y_sorted,
+            rank_space, y_sorted,
+            gather_bands=B, band_window=W, y0_sorted=y0_sorted, max_h=max_h,
         )
 
     # The per-tile lists stay in RANK space all the way to the final row

@@ -270,7 +270,8 @@ def draw_mesh(
             raster_opts = {
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
-                             "use_ybounds", "batch_rows", "pair_budget")
+                             "use_ybounds", "batch_rows", "pair_budget",
+                             "gather_bands", "band_window")
             }
 
     if mvp is None:

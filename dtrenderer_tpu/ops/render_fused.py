@@ -878,6 +878,8 @@ def render_fused(
     use_ybounds: bool | None = None,
     batch_rows: int | None = None,
     pair_budget: int | None = None,
+    gather_bands: int = 1,
+    band_window: int | None = None,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -912,8 +914,9 @@ def render_fused(
     # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
     # [smalls by id][broads by id], so the cheap slot tie-break only equals
     # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
-    # carries the id channel. Y-sorted bins always need the id channel.
-    tie_by_id = use_ybounds or broad_cap > 0
+    # carries the id channel. Y-sorted bins always need the id channel, and
+    # so do banded gathers (they y0-rank-order the bins even at n_slabs == 1).
+    tie_by_id = use_ybounds or broad_cap > 0 or gather_bands > 1
     if batch_rows is None:
         # Wider shading batches amortize per-batch fixed costs (segment loads,
         # tap-range reductions); 32 rows is the measured plateau. min(32,
@@ -966,7 +969,8 @@ def render_fused(
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
         payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
-        pair_budget=pair_budget,
+        pair_budget=pair_budget, gather_bands=int(gather_bands),
+        band_window=band_window,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(

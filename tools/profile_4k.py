@@ -65,29 +65,39 @@ def main():
         payload = pack_payload(attrs10, layout, (0, 64, 64), 0.0)
         return setup.coef, setup.bbox, setup.valid, payload
 
-    def bin_only(tile_h, small_span, cap, n_slabs, pair_budget=None):
+    def bin_only(tile_h, small_span, cap, n_slabs, pair_budget=None,
+                 gather_bands=1):
         def f(t):
             coef, bbox, valid, payload = prep_pack(t)
             bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
                                  tile_w=128, capacity=cap,
                                  small_span=small_span, broad_cap=128,
                                  payload=payload, n_slabs=n_slabs,
-                                 pair_budget=pair_budget)
+                                 pair_budget=pair_budget,
+                                 gather_bands=gather_bands)
             return bins.setup, bins.counts
         return f
 
     # CURRENT production config-5 settings (models/scenes.make_config5):
     # cap 1536, small_span 8, prefix-gather pair_budget 1.7x, t32, no slab
-    # culling, cols=2. Splits the 240-257 ms frame into prep / bin / phase1 /
-    # full to find the round-3 wall.
+    # culling, cols=2. Measured split of the 247.5 ms frame (2026-08-17):
+    # prep 4.1 | binning 116.6 | phase-1 75.0 | shading 51.8. The banded
+    # variants attack binning (windowed sub-table gathers) and phase-1
+    # (slab culling rides the y-sort the bands need anyway).
     budget = int(1.7 * n_tris)
     cfg = dict(capacity=1536, small_span=8, chunk=16, use_ybounds=False,
                cols=2, pair_budget=budget)
     variants = [
         ("prep+pack only", prep_pack, False),
         ("bin-only CURRENT (prefix)", bin_only(32, 8, 1536, 1, budget), False),
-        ("phase1 CURRENT", make_frame(dict(cfg, skip_shading=True)), True),
+        ("bin-only bands8", bin_only(32, 8, 1536, 1, budget, 8), False),
         ("full CURRENT", make_frame(dict(cfg)), True),
+        ("full bands8", make_frame(dict(cfg, gather_bands=8)), True),
+        ("full bands8+YB",
+         make_frame(dict(cfg, gather_bands=8, use_ybounds=True)), True),
+        ("phase1 bands8+YB",
+         make_frame(dict(cfg, gather_bands=8, use_ybounds=True,
+                         skip_shading=True)), True),
     ]
     for name, fn, takes_fb in variants:
         try:
