@@ -49,6 +49,28 @@ class Bins(NamedTuple):
 SETUP_ID_CHANNEL = 16
 
 
+class FlatBins(NamedTuple):
+    """Flat (non-densified) bins for render_fused's flat_bins kernel mode.
+
+    Instead of materializing the [n_ty, n_tx, K, C] setup blocks (whose
+    assembly — broad merge + reorder — costs ~27 ms at 1M tris/4K), the
+    kernel DMAs each tile's CONTIGUOUS row range [starts, starts+K) straight
+    out of the sorted-prefix table in HBM. Rows are 128 lanes wide because
+    TPU pads the minor dim to 128 physically anyway; the extra lanes are free
+    in HBM and make full-width DMA slices legal (Mosaic rejects partial-lane
+    slices).
+    """
+
+    table: jnp.ndarray     # f32 [Lp + K, 128]: [coef 16][id][payload P][0...]
+    table_cm: jnp.ndarray  # f32 [P, Lp_pad]: payload channels channel-major
+    starts: jnp.ndarray    # i32 [n_ty, n_tx] row offset of each tile's range
+    counts: jnp.ndarray    # i32 [n_ty, n_tx] SMALL rows in range (<= K)
+    broad: jnp.ndarray     # f32 [B_pad, 128] shared broad rows (all tiles)
+    broad_cm: jnp.ndarray  # f32 [P, B_pad128] broad payload channel-major
+    n_broad: jnp.ndarray   # i32 [] broad rows valid in `broad`
+    overflow: jnp.ndarray  # i32 [] (tile,tri) pairs dropped (counted, loud)
+
+
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -157,7 +179,10 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     in overflow (never silent; pad rows have all-zero edge coefficients and
     can never rasterize)."""
     n_tiles = n_ty * n_tx
-    Lp = max(int(pair_budget), 128)
+    # clamp to the sorted-pair array length: tiny scenes have fewer keys than
+    # the 128-row gather floor (slicing clamps, but the sentinel-spread iota
+    # below must match the real prefix length)
+    Lp = min(max(int(pair_budget), 128), int(key_sorted.shape[0]))
 
     # table rows: [coef (16)][payload (P)][id (1)][y0, y1 (2, y-sorted only)]
     parts = [coef]
@@ -170,6 +195,11 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     if y_sorted:
         parts.append(bbox[:, (1, 3)].astype(jnp.float32))
     table = jnp.concatenate(parts, axis=1)
+    # Materialize the concat BEFORE the big row gather: fused, XLA turns the
+    # gather-of-concat into one narrow gather PER PART, and row-gather cost is
+    # per row (flat in width) — 3 narrow gathers cost ~3x one wide one
+    # (measured 65 -> 29 ms at 1.7M rows, tools/micro_gather_fix.py).
+    table = jax.lax.optimization_barrier(table)
     if rank_space:
         table = table[perm]  # rank-ordered rows: ONE [T]-row gather
     Cp = table.shape[1]
@@ -177,6 +207,18 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     pad_row = jnp.concatenate([
         jnp.zeros((16 + P,), jnp.float32), neg1[None],
         jnp.zeros((Cp - 17 - P,), jnp.float32)])
+
+    # Sentinel keys decode to row 0; at a generous budget 20-30% of the
+    # prefix would hammer that ONE row and HBM serializes on it (the hidden
+    # half of the "65 ms gather": ~38 ns/row with the duplicated tail vs ~17
+    # spread — tools/micro_gather_fix.py --sentinel). Spread sentinel ranks
+    # over ascending rows instead; the fetched garbage is never reachable
+    # (budget cuts are counted and ranges clamp before any sentinel).
+    key_pref = key_sorted[:Lp]
+    is_sent = key_pref >= I32(n_tiles) * (T + 1)
+    spread = ((jnp.arange(Lp, dtype=I32) * I32(-1640531527))
+              & I32(0x7FFFFFFF)) % T  # hashed: ascending runs also serialize
+    ranks_pref = jnp.where(is_sent, spread, key_pref % (T + 1))
 
     B = int(gather_bands)
     if B > 1:
@@ -219,11 +261,9 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
                             0, B * Lb)
         budget_cap = jnp.maximum(pst_t + Lb - starts[:-1], 0)
     else:
-        # THE gather: Lp rows instead of n_tiles*K. Sentinel keys decode to
-        # row 0 (garbage) — they sort after every real pair, so no tile range
-        # reaches them unless that tile's rows were cut by the budget
-        # (counted below).
-        ranks_pref = key_sorted[:Lp] % (T + 1)
+        # THE gather: Lp rows instead of n_tiles*K. Sentinel tail rows are
+        # garbage — they sort after every real pair, so no tile range reaches
+        # them unless that tile's rows were cut by the budget (counted below).
         table_g = table[jnp.minimum(ranks_pref, T - 1)]     # [Lp, Cp]
         starts_c = jnp.minimum(starts[:-1], Lp)
         budget_cap = jnp.maximum(Lp - starts[:-1], 0)
@@ -267,6 +307,132 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
         counts=counts.reshape(n_ty, n_tx),
         overflow=(small_overflow + broad_dropped + oow).astype(I32),
         slab_bounds=slab_bounds,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
+                     "small_span", "broad_cap", "pair_budget"),
+)
+def bin_triangles_flat(
+    coef,
+    bbox,
+    valid,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    capacity: int,
+    small_span: int,
+    broad_cap: int,
+    payload,
+    pair_budget: int,
+) -> FlatBins:
+    """Flat binning for render_fused(flat_bins=True): sort the (tile, tri)
+    pairs and gather the sorted-prefix table ONCE — NO dense [tiles, K, C]
+    setup assembly (the kernel DMAs per-tile contiguous row ranges from HBM
+    and reads the shared broad block from VMEM). Same span/key/sort scheme as
+    bin_triangles (packed-key domain required); per-tile lists are id-ordered
+    (rank space never needed). All drops (capacity, budget, broad_cap) are
+    counted in overflow, never silent.
+    """
+    T = coef.shape[0]
+    P = payload.shape[1]
+    assert 17 + P <= 128, "flat table rows are 128 lanes: [coef16][id][P]"
+    n_ty = _ceil_div(height, tile_h)
+    n_tx = _ceil_div(width, tile_w)
+    n_tiles = n_ty * n_tx
+    K = capacity
+    assert (n_tiles + 1) * (T + 1) <= 2**31 - 1, (
+        "flat binning needs the packed int32 key domain")
+    Lp = min(max(int(pair_budget), 128), T * small_span)
+
+    # --- small/broad split + packed-key sort (as bin_triangles) ---
+    tx0, ty0 = bbox[:, 0] // tile_w, bbox[:, 1] // tile_h
+    tx1, ty1 = bbox[:, 2] // tile_w, bbox[:, 3] // tile_h
+    span_w, span_h = tx1 - tx0 + 1, ty1 - ty0 + 1
+    n_cover = jnp.where(valid, span_w * span_h, 0)
+    small = valid & (n_cover > 0) & (n_cover <= small_span)
+    broad = valid & (n_cover > small_span)
+
+    s = jnp.arange(small_span, dtype=I32)[None, :]
+    sw = jnp.maximum(span_w, 1)[:, None]
+    tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
+    in_span = small[:, None] & (s < n_cover[:, None])
+    tri_ids = jnp.arange(T, dtype=I32)[:, None]
+    key = jnp.where(in_span,
+                    jnp.where(in_span, tile, n_tiles) * (T + 1) + tri_ids,
+                    I32(n_tiles * (T + 1)))
+    key_sorted = jax.lax.sort(key.reshape(-1))
+    bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
+    starts = jnp.searchsorted(key_sorted, bounds)
+    counts_small = (starts[1:] - starts[:-1]).astype(I32)
+
+    # --- the ONE table + ONE prefix gather ---
+    # Rows are built 128 lanes wide up front: the zero tail rides the gather
+    # for free (row-gather cost is per row, flat in width) and full-width DMA
+    # slices are the only ones Mosaic accepts.
+    idc = jax.lax.bitcast_convert_type(
+        jnp.arange(T, dtype=I32), jnp.float32)[:, None]
+    table = jnp.concatenate(
+        [coef, idc, payload, jnp.zeros((T, 128 - 17 - P), jnp.float32)],
+        axis=1)
+    table = jax.lax.optimization_barrier(table)
+    # Sentinel ranks spread over ascending rows, NOT row 0: a duplicated-row
+    # tail serializes HBM on one row (~2x whole-gather cost; see
+    # _bin_prefix_gather). Garbage rows are unreachable (counts clamp first).
+    key_pref = key_sorted[:Lp]
+    is_sent = key_pref >= I32(n_tiles) * (T + 1)
+    spread = ((jnp.arange(Lp, dtype=I32) * I32(-1640531527))
+              & I32(0x7FFFFFFF)) % T  # hashed: ascending runs also serialize
+    ranks = jnp.where(is_sent, spread, key_pref % (T + 1))
+    table_g = table[jnp.minimum(ranks, T - 1)]              # [Lp, 128]
+    # K zero pad rows: a DMA window [start, start+K) at start <= Lp never
+    # reads out of bounds. Zero rows can never rasterize (all-zero edge
+    # coefficients fail the top-left fill rule) and every consumer masks by
+    # slot < count anyway.
+    table_g = jnp.concatenate([table_g, jnp.zeros((K, 128), jnp.float32)])
+
+    # channel-major payload for the kernel's phase-2 slot gathers. Lane pad:
+    # phase 2 DMAs [P, K+128] at 128-aligned offsets <= Lp.
+    Lpad = _ceil_div(Lp + K + 128, 128) * 128
+    P8 = _ceil_div(P, 8) * 8  # Mosaic: DMA slices 8-aligned on sublanes
+    table_cm = jnp.transpose(table_g[:, 17:17 + P], (1, 0))
+    table_cm = jnp.pad(table_cm, ((0, P8 - P), (0, Lpad - table_cm.shape[1])))
+
+    # --- budget/capacity caps (counted) ---
+    starts_c = jnp.minimum(starts[:-1], Lp)
+    budget_cap = jnp.maximum(Lp - starts[:-1], 0)
+    cnt = jnp.minimum(jnp.minimum(counts_small, K), budget_cap)
+    small_overflow = jnp.sum(counts_small - cnt)
+
+    # --- shared broad block (every tile walks it) ---
+    Bc = max(int(broad_cap), 1)
+    B_pad = _ceil_div(Bc, 8) * 8
+    broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
+    broad_sorted = (jnp.sort(broad_key)[:Bc] if T >= Bc else jnp.pad(
+        jnp.sort(broad_key), (0, Bc - T), constant_values=T))
+    n_broad = jnp.minimum(jnp.sum(broad.astype(I32)), Bc)
+    jb = jnp.arange(Bc, dtype=I32)
+    broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)
+    broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - Bc, 0)
+    broad_rows = jnp.where((broad_ids >= 0)[:, None],
+                           table[jnp.maximum(broad_ids, 0)], 0.0)
+    broad_rows = jnp.pad(broad_rows, ((0, B_pad - Bc), (0, 0)))
+    B_pad128 = _ceil_div(Bc, 128) * 128
+    broad_cm = jnp.pad(jnp.transpose(broad_rows[:Bc, 17:17 + P], (1, 0)),
+                       ((0, 0), (0, B_pad128 - Bc)))
+
+    return FlatBins(
+        table=table_g,
+        table_cm=table_cm,
+        starts=starts_c.reshape(n_ty, n_tx),
+        counts=cnt.reshape(n_ty, n_tx),
+        broad=broad_rows,
+        broad_cm=broad_cm,
+        n_broad=n_broad,
+        overflow=(small_overflow + broad_dropped).astype(I32),
     )
 
 
@@ -487,6 +653,10 @@ def bin_triangles(
             jnp.arange(T, dtype=I32), jnp.float32)[:, None])   # id channel
         parts.append(bbox[:, (1, 3)].astype(jnp.float32))  # local y0, y1 rows
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if len(parts) > 1:
+        # Materialize before the [n_tiles*K]-row gather: a fused gather-of-
+        # concat pays per-row latency once PER PART (see _bin_prefix_gather).
+        table = jax.lax.optimization_barrier(table)
     if y_sorted:
         table = table[perm]  # rank-ordered rows: ONE [T]-row gather
     safe = jnp.maximum(merged, 0)

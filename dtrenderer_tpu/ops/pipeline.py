@@ -271,7 +271,7 @@ def draw_mesh(
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
-                             "gather_bands", "band_window")
+                             "gather_bands", "band_window", "flat_bins")
             }
 
     if mvp is None:
@@ -597,6 +597,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("use_ybounds", None)  # capacity counts don't depend on bin order
     opts.pop("batch_rows", None)
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
+    opts.pop("flat_bins", None)  # same counts/caps; audit via dense bins
     # render_fused's defaults, from the single shared source (binning's own
     # defaults differ — never mirror by hand).
     from dtrenderer_tpu.ops.render_fused import DEFAULT_RASTER_OPTS

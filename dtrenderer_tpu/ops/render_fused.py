@@ -226,7 +226,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  skip_shading: bool = False, cols: int = 1,
                  layout: PayloadLayout = FULL_LAYOUT,
                  use_ybounds: bool = True, batch_rows: int = 8,
-                 tie_by_id: bool = True):
+                 tie_by_id: bool = True, flat: bool = False,
+                 broad_lanes: int = 128):
     n_pix = tile_h * tile_w
     batch_px = batch_rows * 128
     assert n_pix % batch_px == 0, "tile must hold whole shading batches"
@@ -234,6 +235,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     n_slabs = tile_h // 8
     slab_pix = 8 * tile_w
     assert tile_h % 8 == 0, "tile_h must be a multiple of 8 (VPU sublanes)"
+    assert not (flat and use_ybounds), "flat mode has no slab ranges (yet)"
 
     n_payload = layout.n_payload
     assert not with_phong or layout.has_normals, (
@@ -244,7 +246,12 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         assert layout.has_flags, "mixed sampling rides the flags channel"
 
     def kernel(*refs):
-        if use_ybounds:
+        if flat:
+            (counts_ref, starts_ref, nb_ref, off_ref, scal_ref, table_ref,
+             cm_ref, broad_rm_ref, broad_cm_ref, tex_ref, z_ref, src_ref,
+             scr_rm, scr_cm, sems) = refs
+            sb_ref = setup_ref = payload_t_ref = None
+        elif use_ybounds:
             (sb_ref, counts_ref, off_ref, scal_ref, setup_ref, payload_t_ref,
              tex_ref, z_ref, src_ref) = refs
         else:
@@ -255,9 +262,41 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         # fixed per-step cost, which dominates for small tiles).
         ti = pl.program_id(0)
         tjb = pl.program_id(1)
+
+        dmas = []
+        if flat:
+            # Issue every column's two DMAs up front (table rows for phase 1,
+            # channel-major payload for phase 2), then process columns — the
+            # later columns' copies overlap the earlier columns' compute.
+            for g in range(cols):
+                tj = tjb * cols + g
+                start = starts_ref[ti, tj]
+                start_al = (start // 128) * 128
+                d1 = pltpu.make_async_copy(
+                    table_ref.at[pl.ds(start, capacity), :],
+                    scr_rm.at[g], sems.at[g, 0])
+                d2 = pltpu.make_async_copy(
+                    cm_ref.at[:, pl.ds(start_al, capacity + 128)],
+                    scr_cm.at[g], sems.at[g, 1])
+                d1.start()
+                d2.start()
+                dmas.append((d1, d2))
+
         for g in range(cols):
             tj = tjb * cols + g
-            n = counts_ref[ti, tj]
+            if flat:
+                n_small = counts_ref[ti, tj]
+                nb = nb_ref[0, 0]
+                n = n_small + nb
+                delta = starts_ref[ti, tj] - (starts_ref[ti, tj] // 128) * 128
+                d1, d2 = dmas[g]
+                # Wait unconditionally (semaphore balance), even for empty
+                # tiles; the cm copy is tiny and lands well before the rows.
+                d1.wait()
+                d2.wait()
+            else:
+                n_small = nb = delta = None
+                n = counts_ref[ti, tj]
             ty_base = ti * tile_h  # tile's first LOCAL pixel row
             y0 = ty_base + off_ref[0, 0]
             x0 = tj * tile_w + off_ref[0, 1]
@@ -269,12 +308,17 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 src_ref[0, g, :, :] = jnp.zeros((4, n_pix), F32)
 
             @pl.when(n > 0)
-            def _full(g=g, n=n, ty_base=ty_base, y0=y0, x0=x0, ti=ti, tj=tj):
+            def _full(g=g, n=n, n_small=n_small, nb=nb, delta=delta,
+                      ty_base=ty_base, y0=y0, x0=x0, ti=ti, tj=tj):
+                flat_ctx = ((n_small, nb, delta, scr_rm, scr_cm,
+                             broad_rm_ref, broad_cm_ref) if flat else None)
                 _tile_body(g, n, ty_base, y0, x0, ti, tj, sb_ref, scal_ref,
-                           setup_ref, payload_t_ref, tex_ref, z_ref, src_ref)
+                           setup_ref, payload_t_ref, tex_ref, z_ref, src_ref,
+                           flat_ctx)
 
     def _tile_body(gcol, n, ty_base, y0, x0, ti, tj, sb_ref, scal_ref,
-                   setup_ref, payload_t_ref, tex_ref, z_ref, src_ref):
+                   setup_ref, payload_t_ref, tex_ref, z_ref, src_ref,
+                   flat_ctx=None):
         # --------------------- phase 1: visibility (slab loop) ---------------
         # The tile is processed in 8-row SLABS. With use_ybounds, bins are
         # y-sorted and binning precomputed a conservative contiguous slot range
@@ -294,6 +338,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         # and slot order diverges from id order, so the id channel is required
         # for the FORMULAS.md min-id depth-tie contract.
         n_chunks = pl.cdiv(n, chunk)
+        if flat_ctx is not None:
+            n_small_f, nb_f, delta_f, scr_rm, scr_cm, broad_rm_ref, \
+                broad_cm_ref = flat_ctx
 
         def make_slab(s_i):
             flat = jax.lax.broadcasted_iota(I32, (1, slab_pix), 1)
@@ -303,22 +350,40 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             py = (fy + y0).astype(F32) + F32(0.5)
             iota_c = jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
 
-            if use_ybounds and n_slabs > 1:
+            # Each phase-1 loop is (row reader, slot base, valid limit,
+            # (chunk range)). Dense bins: one list (smalls + broads packed by
+            # binning), slab-culled via SMEM ranges when use_ybounds. Flat
+            # bins: the tile's DMA'd row range (smalls) plus the shared
+            # VMEM broad block, broad slots biased by `capacity`.
+            if flat_ctx is not None:
+                loops = [
+                    (lambda k0: scr_rm[gcol, pl.ds(k0, chunk), :], 0,
+                     n_small_f, (0, pl.cdiv(n_small_f, chunk))),
+                    (lambda k0: broad_rm_ref[pl.ds(k0, chunk), :], capacity,
+                     nb_f, (0, pl.cdiv(nb_f, chunk))),
+                ]
+            elif use_ybounds and n_slabs > 1:
                 # Two ranges: this slab's tight small-triangle range (entry
                 # s_i) and the shared broad suffix (entry n_slabs, usually
                 # empty). Chunk overlap between them is harmless — the depth
                 # carry is idempotent.
                 n_entries = n_slabs + 1
-                ranges = []
+                dense_read = lambda k0: setup_ref[0, gcol, pl.ds(k0, chunk), :]
+                loops = []
                 for e in (s_i, n_slabs):
                     sb_col = (tj * n_entries + e) * 2
                     ks = sb_ref[ti, sb_col]
                     ke = jnp.minimum(sb_ref[ti, sb_col + 1], n)
-                    ranges.append((ks // chunk, pl.cdiv(ke, chunk)))
+                    loops.append((dense_read, 0, n,
+                                  (ks // chunk, pl.cdiv(ke, chunk))))
             else:
-                ranges = [(0, n_chunks)]
+                loops = [
+                    (lambda k0: setup_ref[0, gcol, pl.ds(k0, chunk), :], 0,
+                     n, (0, n_chunks)),
+                ]
 
-            def chunk_body(c, carry):
+            def make_chunk_body(read_rows, slot_base, limit):
+              def chunk_body(c, carry):
                 k0 = pl.multiple_of(c * chunk, chunk)
 
                 def do(carry):
@@ -326,7 +391,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                         bz, bid, bslot, bb0, bb1, bb2 = carry
                     else:
                         bz, bslot, bb0, bb1, bb2 = carry
-                    s = setup_ref[0, gcol, pl.ds(k0, chunk), :]  # [chunk, C]
+                    s = read_rows(k0)  # [chunk, C]
 
                     def col(i):
                         return s[:, i:i + 1]  # [chunk, 1]
@@ -337,9 +402,9 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     inv_area2 = col(9)
                     z0, z1, z2 = col(10), col(11), col(12)
                     tl0, tl1, tl2 = col(13), col(14), col(15)
-                    slots = k0 + iota_c  # [chunk, 1]
-                    # padding slots (>= n) carry garbage coefs — mask by slot
-                    valid_row = slots < n
+                    slots = slot_base + k0 + iota_c  # [chunk, 1]
+                    # padding slots (>= limit) carry garbage coefs — mask
+                    valid_row = (k0 + iota_c) < limit
 
                     # FORMULAS.md coverage + depth (same op order as
                     # geometry.py).
@@ -391,6 +456,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                     return new
 
                 return do(carry)
+              return chunk_body
 
             zero = jnp.zeros((chunk, slab_pix), F32)
             init_z = jnp.full((chunk, slab_pix), jnp.inf, F32)
@@ -401,8 +467,10 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             else:
                 init = (init_z, init_slot, zero, zero, zero)
             res = init
-            for c_lo, c_hi in ranges:
-                res = jax.lax.fori_loop(c_lo, c_hi, chunk_body, res)
+            for read_rows, slot_base, limit, (c_lo, c_hi) in loops:
+                res = jax.lax.fori_loop(
+                    c_lo, c_hi, make_chunk_body(read_rows, slot_base, limit),
+                    res)
 
             # Cross-row resolve, ONCE per slab: min z, tie-break by key.
             if tie_by_id:
@@ -455,10 +523,11 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             @pl.when(cov_any)
             def _shade(pt=pt):
                 _shade_batch(gcol, pt, best_z, best_slot, bb0, bb1, bb2,
-                             scal_ref, payload_t_ref, tex_ref, src_ref)
+                             scal_ref, payload_t_ref, tex_ref, src_ref,
+                             flat_ctx)
 
     def _shade_batch(gcol, pt, best_z, best_slot, bb0, bb1, bb2, scal_ref,
-                     payload_t_ref, tex_ref, src_ref):
+                     payload_t_ref, tex_ref, src_ref, flat_ctx=None):
         # Batch batch_rows contiguous 128-pixel groups onto sublanes by
         # CONCATENATING [1,128] slices (Mosaic can't shape-cast lanes to
         # sublanes). Row r covers flat pixels [pt*batch_px + r*128, ... + 128).
@@ -482,27 +551,51 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         # Winner slots within a batch are spatially coherent: loop only the
         # dynamic [min, max] 128-slot chunk range actually referenced.
-        sl_c = jnp.clip(sl, 0, capacity - 1)
-        jmin = jnp.min(sl_c) // 128
-        jmax = jnp.max(sl_c) // 128
-
-        def gather_chunk(j, vals):
-            start = pl.multiple_of(j * 128, 128)
-            loc = sl_c - j * 128
-            sel = (loc >= 0) & (loc < 128)
-            loc = jnp.clip(loc, 0, 127)
-            out = []
-            for p in range(n_payload):
-                seg = jnp.broadcast_to(
-                    payload_t_ref[0, gcol, p:p + 1, pl.ds(start, 128)],
-                    (batch_rows, 128)
-                )
-                out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
-            return tuple(out)
-
         vals = tuple(jnp.zeros((batch_rows, 128), F32)
                      for _ in range(n_payload))
-        vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
+        if flat_ctx is None:
+            sl_c = jnp.clip(sl, 0, capacity - 1)
+            reader = lambda p, start: payload_t_ref[0, gcol, p:p + 1,
+                                                    pl.ds(start, 128)]
+            sources = [(sl_c, reader)]
+        else:
+            # Flat bins: small winners gather from the DMA'd channel-major
+            # window (lane = delta + slot; the window starts at the 128-
+            # aligned row offset, so chunk lane offsets stay aligned); broad
+            # winners (slot >= capacity) from the shared broad block. Lanes
+            # belonging to the OTHER source get a negative index and match no
+            # chunk. A batch rarely has broad winners, so the second loop is
+            # usually empty (its fori range collapses).
+            _, _, delta_f, _, scr_cm, _, broad_cm_ref = flat_ctx
+            is_b = sl >= capacity
+            neg = I32(-(1 << 20))
+            idx_s = jnp.where(is_b, neg, sl + delta_f)
+            idx_b = jnp.where(is_b, sl - capacity, neg)
+            sources = [
+                (idx_s, lambda p, start: scr_cm[gcol, p:p + 1,
+                                                pl.ds(start, 128)]),
+                (idx_b, lambda p, start: broad_cm_ref[p:p + 1,
+                                                      pl.ds(start, 128)]),
+            ]
+
+        for idx, reader in sources:
+            valid_i = idx >= 0
+            jmin = jnp.min(jnp.where(valid_i, idx, INT_MAX)) // 128
+            jmax = jnp.max(jnp.where(valid_i, idx, -1)) // 128
+
+            def gather_chunk(j, vals, idx=idx, reader=reader):
+                start = pl.multiple_of(j * 128, 128)
+                loc = idx - j * 128
+                sel = (loc >= 0) & (loc < 128)
+                loc = jnp.clip(loc, 0, 127)
+                out = []
+                for p in range(n_payload):
+                    seg = jnp.broadcast_to(reader(p, start),
+                                           (batch_rows, 128))
+                    out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
+                return tuple(out)
+
+            vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
 
         c0 = layout.c0
         stride = layout.corner_stride
@@ -771,6 +864,99 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
     return z, src
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
+                     "sampling", "with_phong", "interpret", "chunk",
+                     "skip_shading", "cols", "layout", "batch_rows",
+                     "tie_by_id"),
+)
+def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
+                           height, width, tile_h, tile_w, capacity,
+                           sampling, with_phong, interpret, chunk=CHUNK,
+                           skip_shading=False, cols=1,
+                           layout: PayloadLayout = FULL_LAYOUT,
+                           batch_rows: int = 8, tie_by_id: bool = True):
+    """Flat-bins variant of _render_from_bins: no dense [tiles, K, C] setup —
+    the kernel DMAs each tile's contiguous row range from the sorted-prefix
+    table in HBM (binning.FlatBins) and walks the shared broad block from
+    VMEM. ~27 ms less binning assembly at 1M tris/4K, and the dense setup
+    HBM round-trip disappears."""
+    counts, starts = fbins.counts, fbins.starts
+    n_ty, n_tx = counts.shape
+    n_pix = tile_h * tile_w
+    tex_lanes = tex_lut.shape[1]
+    n_payload = layout.n_payload
+    n_payload8 = -(-n_payload // 8) * 8
+    assert fbins.table.shape[1] == 128
+    assert fbins.table_cm.shape[0] == n_payload8
+
+    cols = max(1, min(cols, n_tx))
+    pad_tx = (-n_tx) % cols
+    if pad_tx:
+        # Padding tiles: start 0, count 0 — they still walk the broad block
+        # (n = nb), but their output columns are sliced off below.
+        counts = jnp.pad(counts, ((0, 0), (0, pad_tx)))
+        starts = jnp.pad(starts, ((0, 0), (0, pad_tx)))
+    n_txp = n_tx + pad_tx
+
+    kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
+                          with_phong, chunk, skip_shading, cols, layout,
+                          use_ybounds=False, batch_rows=batch_rows,
+                          tie_by_id=tie_by_id, flat=True,
+                          broad_lanes=fbins.broad_cm.shape[1])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # n_broad
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # offsets
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+        pl.BlockSpec(memory_space=pl.ANY),    # table (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),    # table_cm (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # broad rows
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # broad channel-major
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tex LUT
+    ]
+    inputs = [counts, starts, fbins.n_broad.reshape(1, 1), offsets, scalars,
+              fbins.table, fbins.table_cm, fbins.broad, fbins.broad_cm,
+              tex_lut]
+    z_flat, src_flat = pl.pallas_call(
+        kernel,
+        grid=(n_ty, n_txp // cols),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, cols, 1, n_pix), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, 4, n_pix), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ty, n_txp, 1, n_pix), F32),
+            jax.ShapeDtypeStruct((n_ty, n_txp, 4, n_pix), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cols, capacity, 128), F32),
+            pltpu.VMEM((cols, n_payload8, capacity + 128), F32),
+            pltpu.SemaphoreType.DMA((cols, 2)),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    if pad_tx:
+        z_flat = z_flat[:, :n_tx]
+        src_flat = src_flat[:, :n_tx]
+
+    def unflatten(a, ch):
+        a = a.reshape(n_ty, n_tx, ch, tile_h, tile_w)
+        a = jnp.transpose(a, (2, 0, 3, 1, 4)).reshape(
+            ch, n_ty * tile_h, n_tx * tile_w
+        )
+        return a[:, :height, :width]
+
+    z = unflatten(z_flat, 1)[0]
+    src = jnp.transpose(unflatten(src_flat, 4), (1, 2, 0))  # [H, W, 4]
+    return z, src
+
+
 def make_texture_lut(textures):
     """Pack textures (list of premultiplied linear f32 [th, tw, 4]) into one planar
     LUT [4, L_pad] plus per-texture (base, tw, th) metadata.
@@ -880,9 +1066,18 @@ def render_fused(
     pair_budget: int | None = None,
     gather_bands: int = 1,
     band_window: int | None = None,
+    flat_bins: bool = False,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
+
+    flat_bins: skip the dense [tiles, K, C] setup assembly entirely — binning
+    returns the sorted-prefix table (binning.bin_triangles_flat) and the
+    kernel DMAs each tile's contiguous row range from HBM, walking the shared
+    broad block from VMEM (slots >= capacity). Image-identical to the dense
+    path when bins do not overflow (under overflow the two paths legitimately
+    drop different pairs). Requires pair_budget; incompatible with
+    use_ybounds/gather_bands (no slab ranges in the flat table yet).
 
     payload: f32 [T, layout.n_payload] per-triangle channels packed by
     pack_payload for `layout` (see module docstring). tex_lut:
@@ -911,6 +1106,8 @@ def render_fused(
     if use_ybounds is None:
         use_ybounds = tile_h > 8
     use_ybounds = use_ybounds and tile_h > 8
+    if flat_bins:
+        use_ybounds = False  # no slab ranges in the flat table (yet)
     # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
     # [smalls by id][broads by id], so the cheap slot tie-break only equals
     # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
@@ -963,6 +1160,30 @@ def render_fused(
         # compacted) triangle count keeps generous skew headroom — real pairs
         # are ~1.3x T for tiny-triangle scenes (misses are counted).
         pair_budget = min(int(pair_budget), 3 * coef.shape[0])
+
+    if flat_bins:
+        assert pair_budget is not None, "flat_bins requires pair_budget"
+        assert gather_bands <= 1, "flat_bins and gather_bands are exclusive"
+        from dtrenderer_tpu.ops.binning import bin_triangles_flat
+
+        fbins = bin_triangles_flat(
+            coef, local, in_shard, height, width,
+            tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+            small_span=small_span, broad_cap=broad_cap,
+            payload=payload, pair_budget=int(pair_budget),
+        )
+        offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
+        scalars = jnp.asarray(
+            [[light_dir[0], light_dir[1], light_dir[2], ambient,
+              0.0, 0.0, 0.0, 0.0]], F32
+        )
+        z, src = _render_from_flat_bins(
+            fbins, offsets, scalars, tex_lut,
+            height, width, tile_h, tile_w, capacity, sampling, with_phong,
+            interpret, chunk, skip_shading, cols, layout,
+            batch_rows, tie_by_id,
+        )
+        return z, src, fbins.overflow + compact_dropped
 
     bins = bin_triangles(
         coef, local, in_shard, height, width,

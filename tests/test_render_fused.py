@@ -562,3 +562,110 @@ def test_fused_gather_bands_image_identical(opts):
     b = run(opts)
     assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+
+
+@pytest.mark.parametrize("opts", [
+    dict(tile_h=8, capacity=128, small_span=4, broad_cap=64,
+         pair_budget=4096, flat_bins=True),
+    dict(tile_h=32, capacity=256, small_span=4, broad_cap=64,
+         pair_budget=4096, flat_bins=True, cols=1, chunk=16),
+    dict(tile_h=16, capacity=128, small_span=4, broad_cap=64,
+         pair_budget=4096, flat_bins=True, cols=2, batch_rows=16),
+])
+def test_fused_flat_bins_image_identical(opts):
+    """flat_bins (per-tile HBM DMA of the sorted-prefix table + shared broad
+    block) must be byte-identical to the dense setup path — including a
+    screen-filling broad triangle under a soup, textured+gouraud plus an
+    untextured phong draw (different payload layouts)."""
+    import dtrenderer_tpu.models.mesh as meshlib
+
+    soup = primitives.random_triangle_soup(500, rng_seed=23, extent=1.0)
+    floor_v = np.array([[-8, -8, -1.0], [8, -8, -1.0], [0, 8, -1.0]],
+                       np.float32)
+    floor = meshlib.make_mesh(floor_v)
+    tex = primitives.checkerboard(16, 4)
+
+    def run(o):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        fb = draw_mesh(fb, floor, MODEL, PROJ, color=(0.3, 0.5, 0.2, 1.0),
+                       shading="none", backend="fused", raster_opts=o,
+                       cull_backfaces=False)
+        fb = draw_mesh(fb, soup, MODEL, PROJ, texture=tex, light=LIGHT,
+                       shading="gouraud", sampling_mode="bilinear",
+                       backend="fused", raster_opts=o)
+        fb = draw_mesh(fb, primitives.uv_sphere(6, 8), MODEL, PROJ,
+                       light=LIGHT, shading="phong", backend="fused",
+                       raster_opts=o)
+        return fb
+
+    base = {k: v for k, v in opts.items()
+            if k not in ("pair_budget", "flat_bins")}
+    a, b = run(base), run(opts)
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+
+
+def test_flat_binning_matches_dense_sets():
+    """bin_triangles_flat's per-tile ranges must carry the same id sets and
+    counts as the dense bins' small prefixes, and the same broad list."""
+    from dtrenderer_tpu.ops.binning import bin_triangles, bin_triangles_flat
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    soup = primitives.random_triangle_soup(800, rng_seed=29, extent=1.2)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.4)))
+    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                                make_light(), (1, 1, 1, 1), "gouraud",
+                                W, H, True, False)
+    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
+    kw = dict(tile_h=8, tile_w=128, capacity=128, small_span=4, broad_cap=64,
+              payload=payload)
+    dense = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
+                          broad_cap=0, **{k: v for k, v in kw.items()
+                                          if k != "broad_cap"})
+    flat = bin_triangles_flat(setup.coef, setup.bbox, setup.valid, H, W,
+                              pair_budget=4096, **kw)
+    # dense with broad_cap=0 -> counts are the small counts (same scene has
+    # no broad triangles at this extent; overflow must agree at 0)
+    assert int(np.asarray(dense.overflow)) == 0
+    assert int(np.asarray(flat.overflow)) == 0
+    cd = np.asarray(dense.counts)
+    cf = np.asarray(flat.counts)
+    assert np.array_equal(cd, cf)
+    table = np.asarray(flat.table)
+    starts = np.asarray(flat.starts)
+    ids_dense = np.asarray(dense.setup)[..., 16].view(np.int32)
+    for ty in range(cd.shape[0]):
+        for tx in range(cd.shape[1]):
+            n = cd[ty, tx]
+            rows = table[starts[ty, tx]:starts[ty, tx] + n]
+            ids_f = rows[:, 16].view(np.int32)
+            assert np.array_equal(np.sort(ids_f),
+                                  np.sort(ids_dense[ty, tx, :n])), (ty, tx)
+            # payload channels ride the same rows
+            pf = rows[:, 17:24]
+            # channel-major copy agrees with the row-major table (rows past
+            # the payload count are sublane padding)
+            cm = np.asarray(flat.table_cm)
+            np.testing.assert_array_equal(
+                cm[:7, starts[ty, tx]:starts[ty, tx] + n].T, pf)
+
+
+def test_flat_binning_budget_overflow_counted():
+    """Pairs beyond pair_budget must be dropped AND counted, never silent."""
+    from dtrenderer_tpu.ops.binning import bin_triangles_flat
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    soup = primitives.random_triangle_soup(800, rng_seed=29, extent=1.2)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.4)))
+    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                                make_light(), (1, 1, 1, 1), "gouraud",
+                                W, H, True, False)
+    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
+    tight = bin_triangles_flat(setup.coef, setup.bbox, setup.valid, H, W,
+                               tile_h=8, tile_w=128, capacity=128,
+                               small_span=4, broad_cap=64, payload=payload,
+                               pair_budget=128)
+    assert int(np.asarray(tight.overflow)) > 0

@@ -87,17 +87,34 @@ def main():
     budget = int(1.7 * n_tris)
     cfg = dict(capacity=1536, small_span=8, chunk=16, use_ybounds=False,
                cols=2, pair_budget=budget)
+
+    def bin_flat(tile_h, small_span, cap):
+        from dtrenderer_tpu.ops.binning import bin_triangles_flat
+
+        def f(t):
+            coef, bbox, valid, payload = prep_pack(t)
+            fbins = bin_triangles_flat(coef, bbox, valid, h, w,
+                                       tile_h=tile_h, tile_w=128,
+                                       capacity=cap, small_span=small_span,
+                                       broad_cap=128, payload=payload,
+                                       pair_budget=budget)
+            return fbins.table, fbins.counts, fbins.overflow
+        return f
+
     variants = [
         ("prep+pack only", prep_pack, False),
         ("bin-only CURRENT (prefix)", bin_only(32, 8, 1536, 1, budget), False),
-        ("bin-only bands8", bin_only(32, 8, 1536, 1, budget, 8), False),
+        ("bin-only flat t32", bin_flat(32, 8, 1536), False),
         ("full CURRENT", make_frame(dict(cfg)), True),
-        ("full bands8", make_frame(dict(cfg, gather_bands=8)), True),
-        ("full bands8+YB",
-         make_frame(dict(cfg, gather_bands=8, use_ybounds=True)), True),
-        ("phase1 bands8+YB",
-         make_frame(dict(cfg, gather_bands=8, use_ybounds=True,
-                         skip_shading=True)), True),
+        ("full flat t32", make_frame(dict(cfg, flat_bins=True)), True),
+        ("phase1 flat t32",
+         make_frame(dict(cfg, flat_bins=True, skip_shading=True)), True),
+        ("full flat t16",
+         make_frame(dict(cfg, flat_bins=True, tile_h=16, capacity=1024,
+                         batch_rows=16)), True),
+        ("full flat t8",
+         make_frame(dict(cfg, flat_bins=True, tile_h=8, capacity=512,
+                         cols=4)), True),
     ]
     for name, fn, takes_fb in variants:
         try:

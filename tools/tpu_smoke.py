@@ -165,11 +165,42 @@ def main():
         za, zb = np.asarray(a.depth), np.asarray(b.depth)
         assert np.array_equal(np.isfinite(za), np.isfinite(zb)), "coverage diff"
 
+    # 6. flat-bins kernel (per-tile HBM DMA of the sorted-prefix table +
+    # shared broad block): ON-HARDWARE parity vs the dense setup path —
+    # interpret mode cannot validate the DMA/alignment rules Mosaic enforces.
+    def flat_parity():
+        ph, pw = 128, 256
+        pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
+        soup = primitives.random_triangle_soup(3_000, rng_seed=5, extent=1.0)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
+        pfb = fblib.create(ph, pw)
+        clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
+
+        def run(opts):
+            @jax.jit
+            def f(color, depth):
+                fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+                return draw_mesh(fb, soup, mdl, pproj, texture=tex,
+                                 light=light, shading="gouraud",
+                                 sampling_mode="bilinear", backend="fused",
+                                 near_clip=False, raster_opts=opts)
+            return jax.block_until_ready(f(pfb.color, pfb.depth))
+
+        base = dict(tile_h=16, capacity=512, small_span=4, cols=2,
+                    batch_rows=16)
+        a = run(base)
+        b = run(dict(base, flat_bins=True, pair_budget=8_000))
+        assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth)), (
+            "flat-bins depth diverges from dense on hardware")
+        assert np.array_equal(np.asarray(a.color), np.asarray(b.color)), (
+            "flat-bins color diverges from dense on hardware")
+
     check("fused/bench-config", fused_bench)
     check("fused/soup-config", fused_soup)
     check("fused/mixed-sampling", fused_mixed)
     check("pallas-visibility", pallas_vis)
     check("fused-vs-ref-parity(hw)", parity)
+    check("fused/flat-bins-parity(hw)", flat_parity)
 
     from dtrenderer_tpu.utils import hwgate
 
