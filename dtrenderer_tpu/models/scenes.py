@@ -186,18 +186,20 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
         mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
         # tile_h=32/cap1536 audited zero-overflow for 1M tris at 4K (max bin
-        # count 1228; tile 16 drops broad tris, small_span 4 spills ~12.7k
-        # broad pairs). pair_budget: real (tile,tri) pairs ~1.28x n_tris for
-        # this soup; 1.7x is audited headroom — the prefix-gather binning
-        # path cuts the dominant setup row-gather (tools/profile_4k.py
-        # attribution; 402 -> 240 ms with these settings).
+        # count 1228; smaller tiles or small_span 4 flood the broad list —
+        # 12.8k-197k broads vs cap 128, tools/profile_4k.py audit).
+        # pair_budget: real (tile,tri) pairs ~0.95M for this soup at t=0.5;
+        # 1.4x n_tris is audited headroom (misses are COUNTED; bench asserts
+        # zero overflow). flat_bins: the kernel DMAs per-tile rows of the
+        # sorted-prefix table straight from HBM — no dense setup assembly
+        # (4K frame 243 -> ~205 ms, tools/profile_4k.py attribution).
         opts = (dict(capacity=capacity, small_span=8,
-                     pair_budget=int(1.7 * n_tris))
+                     pair_budget=int(1.4 * n_tris))
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
             # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
             # machinery costs more than 4-slab culling saves), cols=2.
-            opts.update(chunk=16, use_ybounds=False, cols=2)
+            opts.update(chunk=16, use_ybounds=False, cols=2, flat_bins=True)
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,
@@ -214,7 +216,7 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
             proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
             height, width, light=light, near_clip=False,
             raster_opts=dict(capacity=capacity, small_span=8,
-                             pair_budget=int(1.7 * n_tris)),
+                             pair_budget=int(1.4 * n_tris)),
         )
 
     return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit)

@@ -271,7 +271,8 @@ def draw_mesh(
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
-                             "gather_bands", "band_window", "flat_bins")
+                             "gather_bands", "band_window", "flat_bins",
+                             "row_bands")
             }
 
     if mvp is None:
@@ -307,16 +308,11 @@ def draw_mesh(
         layout = plan_layout(feats, mixed_sampling=False)
         flags = pack_flags(is_phong, sampling_mode == "bilinear")
         payload = pack_payload(attrs10, layout, meta[0], flags)
-        opts = _with_auto_shard_budget(
-            raster_opts, setup.coef.shape[0], h, w, fh, fw)
-        z, src, overflow = render_fused(
+        z, src, overflow = _render_fused_banded(
             setup.coef, setup.bbox, setup.valid, payload, tex_lut,
-            light.direction, light.ambient, h, w,
-            y_offset=y_offset, x_offset=x_offset,
+            light, h, w, y_offset, x_offset, fh, fw,
             bilinear=(sampling_mode == "bilinear") and layout.has_uv,
-            with_phong=is_phong,
-            layout=layout,
-            **opts,
+            with_phong=is_phong, layout=layout, raster_opts=raster_opts,
         )
         win = z < fb.depth
         blended = blend_over(src, fb.color)
@@ -359,6 +355,57 @@ def draw_mesh(
         y_offset=y_offset, x_offset=x_offset,
     )
     return _finish_draw(out, fb, mesh, setup, z, tri, overflow, return_counters)
+
+
+def _render_fused_banded(coef, bbox, valid, payload, tex_lut, light,
+                         h, w, y_offset, x_offset, fh, fw, *,
+                         bilinear, with_phong, layout, raster_opts):
+    """Fused render with optional raster_opts["row_bands"]: N horizontal
+    bands of SEQUENTIAL fused calls sharing one vertex prep — the
+    single-chip form of the sharded band decomposition. Why: the packed
+    int32 (tile, tri) sort key caps n_tiles * T at 2^31, which blocks small
+    tiles (t8/t16) at 1M+ triangles on a full 4K frame; banding keeps each
+    call's tile count under the cap AND band compaction (shard_budget)
+    shrinks each call's sort/gather to ~its band's triangles. Bit-identical
+    to the unbanded frame: pixel ownership is disjoint, binning per band
+    sees exactly the triangles that can touch it, and ids (the depth
+    tie-break) survive compaction (monotone)."""
+    from dtrenderer_tpu.ops.render_fused import render_fused
+
+    base_opts = dict(raster_opts or {})
+    row_bands = int(base_opts.pop("row_bands", 1) or 1)
+    if row_bands <= 1:
+        opts = _with_auto_shard_budget(base_opts, coef.shape[0], h, w, fh, fw)
+        return render_fused(
+            coef, bbox, valid, payload, tex_lut,
+            light.direction, light.ambient, h, w,
+            y_offset=y_offset, x_offset=x_offset,
+            bilinear=bilinear, with_phong=with_phong, layout=layout, **opts,
+        )
+    assert h % row_bands == 0, (
+        f"row_bands={row_bands} must divide the frame height {h}")
+    bh = h // row_bands
+    opts = _with_auto_shard_budget(
+        base_opts, coef.shape[0], bh, w, max(fh, h), max(fw, w))
+    if opts.get("pair_budget"):
+        # a band holds ~1/N of the scene's (tile, tri) pairs; keep 1.3x the
+        # mean band share as skew headroom (misses are counted in overflow)
+        opts["pair_budget"] = max(
+            128, -(-int(opts["pair_budget"]) * 13 // (10 * row_bands))
+            // 128 * 128)
+    zs, srcs = [], []
+    overflow = jnp.zeros((), jnp.int32)
+    for b in range(row_bands):
+        z_b, src_b, ov_b = render_fused(
+            coef, bbox, valid, payload, tex_lut,
+            light.direction, light.ambient, bh, w,
+            y_offset=y_offset + b * bh, x_offset=x_offset,
+            bilinear=bilinear, with_phong=with_phong, layout=layout, **opts,
+        )
+        zs.append(z_b)
+        srcs.append(src_b)
+        overflow = overflow + ov_b
+    return jnp.concatenate(zs, axis=0), jnp.concatenate(srcs, axis=0), overflow
 
 
 def _with_auto_shard_budget(raster_opts, n_tris: int, h: int, w: int,
@@ -598,6 +645,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("batch_rows", None)
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
     opts.pop("flat_bins", None)  # same counts/caps; audit via dense bins
+    opts.pop("row_bands", None)  # audits the full frame's per-tile counts
     # render_fused's defaults, from the single shared source (binning's own
     # defaults differ — never mirror by hand).
     from dtrenderer_tpu.ops.render_fused import DEFAULT_RASTER_OPTS
@@ -827,14 +875,11 @@ def draw_meshes(
     valid = jnp.concatenate(valids, axis=0)
     payload = jnp.concatenate(payloads, axis=0)
 
-    z, src, overflow = render_fused(
-        coef, bbox, valid, payload, tex_lut,
-        light.direction, light.ambient, h, w,
-        y_offset=y_offset, x_offset=x_offset,
+    z, src, overflow = _render_fused_banded(
+        coef, bbox, valid, payload, tex_lut, light, h, w,
+        y_offset, x_offset, fh, fw,
         bilinear=scene_sampling if layout.has_uv else False,
-        with_phong=any_phong,
-        layout=layout,
-        **_with_auto_shard_budget(raster_opts, coef.shape[0], h, w, fh, fw),
+        with_phong=any_phong, layout=layout, raster_opts=raster_opts,
     )
     win = z < fb.depth
     blended = blend_over(src, fb.color)

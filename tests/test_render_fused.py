@@ -669,3 +669,26 @@ def test_flat_binning_budget_overflow_counted():
                                small_span=4, broad_cap=64, payload=payload,
                                pair_budget=128)
     assert int(np.asarray(tight.overflow)) > 0
+
+
+@pytest.mark.parametrize("extra", [
+    dict(),
+    dict(flat_bins=True, pair_budget=8_000),
+])
+def test_fused_row_bands_image_identical(extra):
+    """row_bands banding (sequential per-band fused calls, shared prep, auto
+    band compaction) must be byte-identical to the unbanded frame — dense
+    and flat paths both."""
+    soup = primitives.random_triangle_soup(2_000, rng_seed=31, extent=1.1)
+
+    def run(o):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        return draw_mesh(fb, soup, MODEL, PROJ, shading="gouraud",
+                         backend="fused", near_clip=False, raster_opts=o)
+
+    base = dict(tile_h=8, capacity=256, small_span=4, **extra)
+    a = run(base)
+    b = run(dict(base, row_bands=2))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
