@@ -313,7 +313,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "pair_budget"),
+                     "small_span", "broad_cap", "pair_budget", "mid_cap"),
 )
 def bin_triangles_flat(
     coef,
@@ -328,14 +328,25 @@ def bin_triangles_flat(
     broad_cap: int,
     payload,
     pair_budget: int,
+    mid_cap: int | None = None,
 ) -> FlatBins:
     """Flat binning for render_fused(flat_bins=True): sort the (tile, tri)
     pairs and gather the sorted-prefix table ONCE — NO dense [tiles, K, C]
     setup assembly (the kernel DMAs per-tile contiguous row ranges from HBM
     and reads the shared broad block from VMEM). Same span/key/sort scheme as
     bin_triangles (packed-key domain required); per-tile lists are id-ordered
-    (rank space never needed). All drops (capacity, budget, broad_cap) are
-    counted in overflow, never silent.
+    (rank space never needed). All drops (capacity, budget, broad_cap,
+    mid_cap) are counted in overflow, never silent.
+
+    Two-tier span emission (vs bin_triangles' single [T, small_span] slot
+    matrix): most triangles in a dense scene cover 1-2 tiles, so a uniform
+    small_span=8 matrix is ~3/4 sentinel slots and the pair sort pays for
+    all of them. Tier 1 gives every triangle [T, 2] slots; triangles
+    covering 3..small_span tiles are COMPACTED to a [mid_cap, small_span]
+    matrix (one T-key sort + one widened row gather). Sorted keys are
+    identical to the single-tier emission, so bins do not change. mid_cap
+    None = auto (T/6, 128-quantized); overflow counts dropped mid pairs
+    when a scene exceeds it.
     """
     T = coef.shape[0]
     P = payload.shape[1]
@@ -346,7 +357,6 @@ def bin_triangles_flat(
     K = capacity
     assert (n_tiles + 1) * (T + 1) <= 2**31 - 1, (
         "flat binning needs the packed int32 key domain")
-    Lp = min(max(int(pair_budget), 128), T * small_span)
 
     # --- small/broad split + packed-key sort (as bin_triangles) ---
     tx0, ty0 = bbox[:, 0] // tile_w, bbox[:, 1] // tile_h
@@ -356,18 +366,52 @@ def bin_triangles_flat(
     small = valid & (n_cover > 0) & (n_cover <= small_span)
     broad = valid & (n_cover > small_span)
 
-    s = jnp.arange(small_span, dtype=I32)[None, :]
-    sw = jnp.maximum(span_w, 1)[:, None]
-    tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
-    in_span = small[:, None] & (s < n_cover[:, None])
+    SENT = I32(n_tiles * (T + 1))
     tri_ids = jnp.arange(T, dtype=I32)[:, None]
-    key = jnp.where(in_span,
-                    jnp.where(in_span, tile, n_tiles) * (T + 1) + tri_ids,
-                    I32(n_tiles * (T + 1)))
-    key_sorted = jax.lax.sort(key.reshape(-1))
+    sw = jnp.maximum(span_w, 1)[:, None]
+    mid_overflow = jnp.zeros((), I32)
+    if small_span > 2:
+        # tier 1: 2 slots for everyone (covers the 1-2-tile majority)
+        TIER = 2
+        s2 = jnp.arange(TIER, dtype=I32)[None, :]
+        tile2 = (ty0[:, None] + s2 // sw) * n_tx + (tx0[:, None] + s2 % sw)
+        in2 = small[:, None] & (s2 < jnp.minimum(n_cover, TIER)[:, None])
+        key2 = jnp.where(in2, tile2 * (T + 1) + tri_ids, SENT)
+        # tier 2: compact the 3..small_span coverers to [M, small_span]
+        is_mid = small & (n_cover > TIER)
+        M = (mid_cap if mid_cap is not None
+             else max(128, _ceil_div(T, 6 * 128) * 128))
+        M = min(M, T)
+        iota_t = jnp.arange(T, dtype=I32)
+        midkey = jnp.where(is_mid, iota_t, jnp.int32(2**31 - 1))
+        midsel = jax.lax.sort(midkey)[:M]
+        midok = midsel != 2**31 - 1
+        midsafe = jnp.where(midok, midsel, 0)
+        # one widened [M]-row gather for all per-mid fields (CLAUDE.md: one
+        # wide fetch beats several narrow ones)
+        packed = jnp.stack([tx0, ty0, jnp.maximum(span_w, 1), n_cover],
+                           axis=1)
+        packed = jax.lax.optimization_barrier(packed)
+        pm = packed[midsafe]                                  # [M, 4]
+        sm = jnp.arange(small_span, dtype=I32)[None, :]
+        msw = pm[:, 2:3]
+        tile_m = (pm[:, 1:2] + sm // msw) * n_tx + (pm[:, 0:1] + sm % msw)
+        in_m = midok[:, None] & (sm < pm[:, 3:4])
+        key_m = jnp.where(in_m, tile_m * (T + 1) + midsafe[:, None], SENT)
+        key = jnp.concatenate([key2.reshape(-1), key_m.reshape(-1)])
+        # mids beyond M drop ALL their pairs — counted, never silent
+        mid_overflow = (jnp.sum(jnp.where(is_mid, n_cover, 0))
+                        - jnp.sum(jnp.where(midok, pm[:, 3], 0)))
+    else:
+        s = jnp.arange(small_span, dtype=I32)[None, :]
+        tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
+        in_span = small[:, None] & (s < n_cover[:, None])
+        key = jnp.where(in_span, tile * (T + 1) + tri_ids, SENT).reshape(-1)
+    key_sorted = jax.lax.sort(key)
     bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
     starts = jnp.searchsorted(key_sorted, bounds)
     counts_small = (starts[1:] - starts[:-1]).astype(I32)
+    Lp = min(max(int(pair_budget), 128), int(key_sorted.shape[0]))
 
     # --- the ONE table + ONE prefix gather ---
     # Rows are built 128 lanes wide up front: the zero tail rides the gather
@@ -432,7 +476,7 @@ def bin_triangles_flat(
         broad=broad_rows,
         broad_cm=broad_cm,
         n_broad=n_broad,
-        overflow=(small_overflow + broad_dropped).astype(I32),
+        overflow=(small_overflow + broad_dropped + mid_overflow).astype(I32),
     )
 
 

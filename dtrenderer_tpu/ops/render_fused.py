@@ -1067,6 +1067,7 @@ def render_fused(
     gather_bands: int = 1,
     band_window: int | None = None,
     flat_bins: bool = False,
+    mid_cap: int | None = None,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -1170,7 +1171,7 @@ def render_fused(
             coef, local, in_shard, height, width,
             tile_h=tile_h, tile_w=tile_w, capacity=capacity,
             small_span=small_span, broad_cap=broad_cap,
-            payload=payload, pair_budget=int(pair_budget),
+            payload=payload, pair_budget=int(pair_budget), mid_cap=mid_cap,
         )
         offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
         scalars = jnp.asarray(

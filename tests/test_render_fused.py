@@ -580,6 +580,13 @@ def test_fused_flat_bins_image_identical(opts):
     import dtrenderer_tpu.models.mesh as meshlib
 
     soup = primitives.random_triangle_soup(500, rng_seed=23, extent=1.0)
+    # mid-size triangles (cover 3..small_span tiles at small tile_h),
+    # exercising the two-tier (compacted mid matrix) emission end to end
+    r = np.random.default_rng(27)
+    c_ = r.uniform(-1.0, 1.0, (60, 1, 3)).astype(np.float32)
+    o_ = r.uniform(-0.35, 0.35, (60, 3, 3)).astype(np.float32)
+    mids = meshlib.make_mesh((c_ + o_).reshape(-1, 3))
+    mdl_mid = jnp.asarray(m3.model_matrix((0, 0, -2.0), m3.rotate_y(0.4)))
     floor_v = np.array([[-8, -8, -1.0], [8, -8, -1.0], [0, 8, -1.0]],
                        np.float32)
     floor = meshlib.make_mesh(floor_v)
@@ -596,6 +603,9 @@ def test_fused_flat_bins_image_identical(opts):
                        backend="fused", raster_opts=o)
         fb = draw_mesh(fb, primitives.uv_sphere(6, 8), MODEL, PROJ,
                        light=LIGHT, shading="phong", backend="fused",
+                       raster_opts=o)
+        fb = draw_mesh(fb, mids, mdl_mid, PROJ, color=(0.9, 0.6, 0.3, 1.0),
+                       light=LIGHT, shading="flat", backend="fused",
                        raster_opts=o)
         return fb
 
@@ -692,3 +702,36 @@ def test_fused_row_bands_image_identical(extra):
     b = run(dict(base, row_bands=2))
     assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+
+
+def test_flat_binning_mid_cap_overflow_counted():
+    """Two-tier span emission: triangles covering >2 tiles route through the
+    compacted mid matrix; a too-small mid_cap must COUNT its dropped pairs."""
+    from dtrenderer_tpu.ops.binning import bin_triangles_flat
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    # medium triangles (edge ~0.3-0.7 world units at z=-2): cover 3-8 tiles
+    # at tile_h=8, routing through the compacted mid matrix (tier 2)
+    import dtrenderer_tpu.models.mesh as meshlib
+    r = np.random.default_rng(27)
+    centers = r.uniform(-1.0, 1.0, (1200, 1, 3)).astype(np.float32)
+    offs = r.uniform(-0.35, 0.35, (1200, 3, 3)).astype(np.float32)
+    soup = meshlib.make_mesh((centers + offs).reshape(-1, 3))
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.0), m3.rotate_y(0.4)))
+    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                                make_light(), (1, 1, 1, 1), "gouraud",
+                                W, H, True, False)
+    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
+
+    def run(cap):
+        return bin_triangles_flat(
+            setup.coef, setup.bbox, setup.valid, H, W, tile_h=8, tile_w=128,
+            capacity=2048, small_span=8, broad_cap=128, payload=payload,
+            pair_budget=32_768, mid_cap=cap)
+
+    roomy = run(2_048)
+    tight = run(128)
+    assert int(np.asarray(roomy.overflow)) == 0
+    assert int(np.asarray(tight.overflow)) > 0, (
+        "mid_cap drops must be counted, never hidden")

@@ -84,7 +84,7 @@ def main():
     # prep 4.1 | binning 116.6 | phase-1 75.0 | shading 51.8. The banded
     # variants attack binning (windowed sub-table gathers) and phase-1
     # (slab culling rides the y-sort the bands need anyway).
-    budget = int(1.7 * n_tris)
+    budget = int(1.4 * n_tris)  # production config-5 setting (scenes.py)
     cfg = dict(capacity=1536, small_span=8, chunk=16, use_ybounds=False,
                cols=2, pair_budget=budget)
 
@@ -105,15 +105,17 @@ def main():
     # the broad list EVERY tile walks — must stay < broad_cap)
     setup0 = prep_pack(jnp.float32(0.5))
     bbox0, valid0 = setup0[1], setup0[2]
-    for th, ss in ((32, 8), (32, 4), (16, 4), (8, 4)):
+    for th, ss in ((32, 8),):
         tx0, ty0 = bbox0[:, 0] // 128, bbox0[:, 1] // th
         tx1, ty1 = bbox0[:, 2] // 128, bbox0[:, 3] // th
         cover = jnp.where(valid0, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
         nb = int(np.asarray(jnp.sum((cover > ss).astype(jnp.int32))))
+        nmid = int(np.asarray(jnp.sum(
+            ((cover > 2) & (cover <= ss)).astype(jnp.int32))))
         npairs = int(np.asarray(jnp.sum(
             jnp.where(cover <= ss, cover, 0), dtype=jnp.int64)))
-        print(f"audit t{th} ss{ss}: broads={nb} small_pairs={npairs}",
-              flush=True)
+        print(f"audit t{th} ss{ss}: broads={nb} mids={nmid} "
+              f"small_pairs={npairs}", flush=True)
 
     variants = [
         ("prep+pack only", prep_pack, False),
@@ -121,14 +123,6 @@ def main():
         ("full flat t32", make_frame(dict(cfg, flat_bins=True)), True),
         ("phase1 flat t32",
          make_frame(dict(cfg, flat_bins=True, skip_shading=True)), True),
-        ("full flat t32 ss4",
-         make_frame(dict(cfg, flat_bins=True, small_span=4)), True),
-        ("full flat t16x2 ss4",
-         make_frame(dict(cfg, flat_bins=True, small_span=4, tile_h=16,
-                         capacity=1024, batch_rows=16, row_bands=2)), True),
-        ("full flat t8x4 ss4",
-         make_frame(dict(cfg, flat_bins=True, small_span=4, tile_h=8,
-                         capacity=512, cols=4, row_bands=4)), True),
     ]
     for name, fn, takes_fb in variants:
         try:
