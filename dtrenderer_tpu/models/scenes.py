@@ -199,7 +199,9 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         if backend == "fused":
             # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
             # machinery costs more than 4-slab culling saves), cols=2.
-            opts.update(chunk=16, use_ybounds=False, cols=2, flat_bins=True)
+            # chunk 32: fewer phase-1 loop iterations wins at ~900-count
+            # bins (151 vs 155 ms phase-1; chunk 8 is 178 — profile_4k sweep)
+            opts.update(chunk=32, use_ybounds=False, cols=2, flat_bins=True)
         fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="nearest",
                        backend=backend, y_offset=y_offset,

@@ -151,6 +151,69 @@ def _extract_ranges(flat, starts, K: int, batch: int = 16):
     return out[:n]
 
 
+def _emit_pair_keys(small, n_cover, tx0, ty0, span_w, rank_vec,
+                    T: int, n_tiles: int, n_tx: int, small_span: int,
+                    mid_cap: int | None = None):
+    """Packed (tile, rank) pair keys as ONE flat i32 array, ready to sort.
+
+    Two-tier emission when small_span > 2: most triangles in a dense scene
+    cover 1-2 tiles, so a uniform [T, small_span] slot matrix is mostly
+    sentinel slots and the pair sort pays for all of them. Tier 1 gives every
+    triangle 2 slots; triangles covering 3..small_span tiles are COMPACTED to
+    a [mid_cap, small_span] matrix (one T-key sort + one widened row gather).
+    Emitted keys are identical to the single-tier matrix, so downstream bins
+    never change. Returns (keys, mid_overflow): pairs of mid triangles beyond
+    mid_cap (auto: T/4, 128-quantized) are dropped AND counted.
+    """
+    SENT = I32(n_tiles * (T + 1))
+    sw = jnp.maximum(span_w, 1)[:, None]
+    # tiering only pays when the single-tier matrix is big enough that its
+    # sort dominates the extra mid-compaction sort + widened gather: measured
+    # 200k tris x span 8 (1.6M keys) = a wash (20.8 vs 19.9 ms soup frame),
+    # 1M x 8 (8M keys) = bin-only 69.5 -> 62 ms. Gate at 4M slots; an
+    # EXPLICIT mid_cap forces tiering on (tests, unusual scenes).
+    if small_span <= 2 or (mid_cap is None and T * small_span < (1 << 22)):
+        s = jnp.arange(small_span, dtype=I32)[None, :]
+        tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
+        in_span = small[:, None] & (s < n_cover[:, None])
+        keys = jnp.where(in_span, tile * (T + 1) + rank_vec[:, None], SENT)
+        return keys.reshape(-1), jnp.zeros((), I32)
+
+    TIER = 2
+    s2 = jnp.arange(TIER, dtype=I32)[None, :]
+    tile2 = (ty0[:, None] + s2 // sw) * n_tx + (tx0[:, None] + s2 % sw)
+    # tier 1 takes ONLY the <= TIER coverers; mids emit ALL their slots via
+    # the compacted matrix (emitting their first 2 here too would duplicate
+    # pairs: image-harmless but count-inflating and fallback-divergent)
+    in2 = (small & (n_cover <= TIER))[:, None] & (s2 < n_cover[:, None])
+    key2 = jnp.where(in2, tile2 * (T + 1) + rank_vec[:, None], SENT)
+
+    is_mid = small & (n_cover > TIER)
+    M = (mid_cap if mid_cap is not None
+         else max(128, _ceil_div(T, 4 * 128) * 128))
+    M = min(M, T)
+    iota_t = jnp.arange(T, dtype=I32)
+    midkey = jnp.where(is_mid, iota_t, jnp.int32(2**31 - 1))
+    midsel = jax.lax.sort(midkey)[:M]
+    midok = midsel != 2**31 - 1
+    midsafe = jnp.where(midok, midsel, 0)
+    # one widened [M]-row gather for all per-mid fields (CLAUDE.md: one wide
+    # fetch beats several narrow ones)
+    packed = jnp.stack([tx0, ty0, jnp.maximum(span_w, 1), n_cover, rank_vec],
+                       axis=1)
+    packed = jax.lax.optimization_barrier(packed)
+    pm = packed[midsafe]                                      # [M, 5]
+    sm = jnp.arange(small_span, dtype=I32)[None, :]
+    msw = pm[:, 2:3]
+    tile_m = (pm[:, 1:2] + sm // msw) * n_tx + (pm[:, 0:1] + sm % msw)
+    in_m = midok[:, None] & (sm < pm[:, 3:4])
+    key_m = jnp.where(in_m, tile_m * (T + 1) + pm[:, 4:5], SENT)
+    keys = jnp.concatenate([key2.reshape(-1), key_m.reshape(-1)])
+    mid_overflow = (jnp.sum(jnp.where(is_mid, n_cover, 0))
+                    - jnp.sum(jnp.where(midok, pm[:, 3], 0)))
+    return keys, mid_overflow
+
+
 def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
                        broad_sel, n_broad, broad_dropped, perm,
                        pair_budget: int, T: int, K: int, broad_cap: int,
@@ -345,7 +408,7 @@ def bin_triangles_flat(
     covering 3..small_span tiles are COMPACTED to a [mid_cap, small_span]
     matrix (one T-key sort + one widened row gather). Sorted keys are
     identical to the single-tier emission, so bins do not change. mid_cap
-    None = auto (T/6, 128-quantized); overflow counts dropped mid pairs
+    None = auto (T/4, 128-quantized); overflow counts dropped mid pairs
     when a scene exceeds it.
     """
     T = coef.shape[0]
@@ -366,48 +429,10 @@ def bin_triangles_flat(
     small = valid & (n_cover > 0) & (n_cover <= small_span)
     broad = valid & (n_cover > small_span)
 
-    SENT = I32(n_tiles * (T + 1))
-    tri_ids = jnp.arange(T, dtype=I32)[:, None]
-    sw = jnp.maximum(span_w, 1)[:, None]
-    mid_overflow = jnp.zeros((), I32)
-    if small_span > 2:
-        # tier 1: 2 slots for everyone (covers the 1-2-tile majority)
-        TIER = 2
-        s2 = jnp.arange(TIER, dtype=I32)[None, :]
-        tile2 = (ty0[:, None] + s2 // sw) * n_tx + (tx0[:, None] + s2 % sw)
-        in2 = small[:, None] & (s2 < jnp.minimum(n_cover, TIER)[:, None])
-        key2 = jnp.where(in2, tile2 * (T + 1) + tri_ids, SENT)
-        # tier 2: compact the 3..small_span coverers to [M, small_span]
-        is_mid = small & (n_cover > TIER)
-        M = (mid_cap if mid_cap is not None
-             else max(128, _ceil_div(T, 6 * 128) * 128))
-        M = min(M, T)
-        iota_t = jnp.arange(T, dtype=I32)
-        midkey = jnp.where(is_mid, iota_t, jnp.int32(2**31 - 1))
-        midsel = jax.lax.sort(midkey)[:M]
-        midok = midsel != 2**31 - 1
-        midsafe = jnp.where(midok, midsel, 0)
-        # one widened [M]-row gather for all per-mid fields (CLAUDE.md: one
-        # wide fetch beats several narrow ones)
-        packed = jnp.stack([tx0, ty0, jnp.maximum(span_w, 1), n_cover],
-                           axis=1)
-        packed = jax.lax.optimization_barrier(packed)
-        pm = packed[midsafe]                                  # [M, 4]
-        sm = jnp.arange(small_span, dtype=I32)[None, :]
-        msw = pm[:, 2:3]
-        tile_m = (pm[:, 1:2] + sm // msw) * n_tx + (pm[:, 0:1] + sm % msw)
-        in_m = midok[:, None] & (sm < pm[:, 3:4])
-        key_m = jnp.where(in_m, tile_m * (T + 1) + midsafe[:, None], SENT)
-        key = jnp.concatenate([key2.reshape(-1), key_m.reshape(-1)])
-        # mids beyond M drop ALL their pairs — counted, never silent
-        mid_overflow = (jnp.sum(jnp.where(is_mid, n_cover, 0))
-                        - jnp.sum(jnp.where(midok, pm[:, 3], 0)))
-    else:
-        s = jnp.arange(small_span, dtype=I32)[None, :]
-        tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
-        in_span = small[:, None] & (s < n_cover[:, None])
-        key = jnp.where(in_span, tile * (T + 1) + tri_ids, SENT).reshape(-1)
-    key_sorted = jax.lax.sort(key)
+    key_flat, mid_overflow = _emit_pair_keys(
+        small, n_cover, tx0, ty0, span_w, jnp.arange(T, dtype=I32),
+        T, n_tiles, n_tx, small_span, mid_cap)
+    key_sorted = jax.lax.sort(key_flat)
     bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
     starts = jnp.searchsorted(key_sorted, bounds)
     counts_small = (starts[1:] - starts[:-1]).astype(I32)
@@ -484,7 +509,7 @@ def bin_triangles_flat(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "small_span", "broad_cap", "n_slabs", "pair_budget",
-                     "gather_bands", "band_window"),
+                     "gather_bands", "band_window", "mid_cap"),
 )
 def bin_triangles(
     coef,
@@ -502,6 +527,7 @@ def bin_triangles(
     pair_budget: int | None = None,
     gather_bands: int = 1,
     band_window: int | None = None,
+    mid_cap: int | None = None,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
 
@@ -617,10 +643,13 @@ def bin_triangles(
         perm = None
         rank_b = jnp.broadcast_to(tri_ids, tile.shape)
 
+    mid_overflow = jnp.zeros((), I32)
     if packed_fits:
-        key = jnp.where(in_span, tile * (T + 1) + rank_b,
-                        I32(n_tiles * (T + 1)))
-        key_sorted = jax.lax.sort(key.reshape(-1))
+        rank_vec = rank if rank_space else jnp.arange(T, dtype=I32)
+        key_flat, mid_overflow = _emit_pair_keys(
+            small, n_cover, tx0, ty0, span_w, rank_vec,
+            T, n_tiles, n_tx, small_span, mid_cap)
+        key_sorted = jax.lax.sort(key_flat)
         bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
         starts = jnp.searchsorted(key_sorted, bounds)
         counts_small = (starts[1:] - starts[:-1]).astype(I32)  # [n_tiles]
@@ -647,6 +676,9 @@ def bin_triangles(
     jb = jnp.arange(broad_cap, dtype=I32)
     broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)      # [broad_cap]
     broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - broad_cap, 0)
+    # dropped mid pairs (two-tier emission, _emit_pair_keys) ride the same
+    # overflow total on both the prefix and legacy assembly paths
+    broad_dropped = broad_dropped + mid_overflow
     if rank_space:  # ranks of the broad ids ([broad_cap]-row gather: negligible)
         broad_sel = jnp.where(broad_ids >= 0,
                               rank[jnp.maximum(broad_ids, 0)], -1)

@@ -272,7 +272,7 @@ def draw_mesh(
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
                              "gather_bands", "band_window", "flat_bins",
-                             "row_bands")
+                             "row_bands", "mid_cap")
             }
 
     if mvp is None:

@@ -263,24 +263,44 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         ti = pl.program_id(0)
         tjb = pl.program_id(1)
 
-        dmas = []
         if flat:
-            # Issue every column's two DMAs up front (table rows for phase 1,
-            # channel-major payload for phase 2), then process columns — the
-            # later columns' copies overlap the earlier columns' compute.
-            for g in range(cols):
-                tj = tjb * cols + g
-                start = starts_ref[ti, tj]
-                start_al = (start // 128) * 128
-                d1 = pltpu.make_async_copy(
-                    table_ref.at[pl.ds(start, capacity), :],
-                    scr_rm.at[g], sems.at[g, 0])
-                d2 = pltpu.make_async_copy(
-                    cm_ref.at[:, pl.ds(start_al, capacity + 128)],
-                    scr_cm.at[g], sems.at[g, 1])
-                d1.start()
-                d2.start()
-                dmas.append((d1, d2))
+            # Cross-step DMA prefetch: scratch is double-buffered by grid-
+            # step parity; each step issues the NEXT step's window copies
+            # (table rows for phase 1, channel-major payload for phase 2)
+            # before processing its own — the copies overlap this step's
+            # compute instead of exposing their latency at the wait (per-tile
+            # exposed latency was ~2-4 us x n_tiles without this). Step 0
+            # cold-starts its own slot. Semaphore balance: every step waits
+            # exactly the sems the previous step (or itself, step 0) started.
+            n_jb = pl.num_programs(1)
+            total = pl.num_programs(0) * n_jb
+            step = ti * n_jb + tjb
+            slot = jax.lax.rem(step, 2)
+
+            def issue(s_idx, sl):
+                s_i = s_idx // n_jb
+                s_jb = jax.lax.rem(s_idx, n_jb)
+                for g in range(cols):
+                    tj_ = s_jb * cols + g
+                    start = starts_ref[s_i, tj_]
+                    start_al = (start // 128) * 128
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(start, capacity), :],
+                        scr_rm.at[sl, g], sems.at[sl, g, 0]).start()
+                    pltpu.make_async_copy(
+                        cm_ref.at[:, pl.ds(start_al, capacity + 128)],
+                        scr_cm.at[sl, g], sems.at[sl, g, 1]).start()
+
+            @pl.when(step == 0)
+            def _cold():
+                issue(step, slot)
+
+            @pl.when(step + 1 < total)
+            def _prefetch():
+                issue(step + 1, jax.lax.rem(step + 1, 2))
+
+            scr_rm_s = scr_rm.at[slot]
+            scr_cm_s = scr_cm.at[slot]
 
         for g in range(cols):
             tj = tjb * cols + g
@@ -288,12 +308,17 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 n_small = counts_ref[ti, tj]
                 nb = nb_ref[0, 0]
                 n = n_small + nb
-                delta = starts_ref[ti, tj] - (starts_ref[ti, tj] // 128) * 128
-                d1, d2 = dmas[g]
+                start_cur = starts_ref[ti, tj]
+                start_al_cur = (start_cur // 128) * 128
+                delta = start_cur - start_al_cur
                 # Wait unconditionally (semaphore balance), even for empty
                 # tiles; the cm copy is tiny and lands well before the rows.
-                d1.wait()
-                d2.wait()
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(start_cur, capacity), :],
+                    scr_rm.at[slot, g], sems.at[slot, g, 0]).wait()
+                pltpu.make_async_copy(
+                    cm_ref.at[:, pl.ds(start_al_cur, capacity + 128)],
+                    scr_cm.at[slot, g], sems.at[slot, g, 1]).wait()
             else:
                 n_small = nb = delta = None
                 n = counts_ref[ti, tj]
@@ -310,7 +335,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             @pl.when(n > 0)
             def _full(g=g, n=n, n_small=n_small, nb=nb, delta=delta,
                       ty_base=ty_base, y0=y0, x0=x0, ti=ti, tj=tj):
-                flat_ctx = ((n_small, nb, delta, scr_rm, scr_cm,
+                flat_ctx = ((n_small, nb, delta, scr_rm_s, scr_cm_s,
                              broad_rm_ref, broad_cm_ref) if flat else None)
                 _tile_body(g, n, ty_base, y0, x0, ti, tj, sb_ref, scal_ref,
                            setup_ref, payload_t_ref, tex_ref, z_ref, src_ref,
@@ -935,9 +960,9 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
             jax.ShapeDtypeStruct((n_ty, n_txp, 4, n_pix), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cols, capacity, 128), F32),
-            pltpu.VMEM((cols, n_payload8, capacity + 128), F32),
-            pltpu.SemaphoreType.DMA((cols, 2)),
+            pltpu.VMEM((2, cols, capacity, 128), F32),
+            pltpu.VMEM((2, cols, n_payload8, capacity + 128), F32),
+            pltpu.SemaphoreType.DMA((2, cols, 2)),
         ],
         interpret=interpret,
     )(*inputs)

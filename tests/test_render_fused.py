@@ -566,11 +566,12 @@ def test_fused_gather_bands_image_identical(opts):
 
 @pytest.mark.parametrize("opts", [
     dict(tile_h=8, capacity=128, small_span=4, broad_cap=64,
-         pair_budget=4096, flat_bins=True),
+         pair_budget=4096, flat_bins=True, mid_cap=512),
     dict(tile_h=32, capacity=256, small_span=4, broad_cap=64,
          pair_budget=4096, flat_bins=True, cols=1, chunk=16),
     dict(tile_h=16, capacity=128, small_span=4, broad_cap=64,
-         pair_budget=4096, flat_bins=True, cols=2, batch_rows=16),
+         pair_budget=4096, flat_bins=True, cols=2, batch_rows=16,
+         mid_cap=512),
 ])
 def test_fused_flat_bins_image_identical(opts):
     """flat_bins (per-tile HBM DMA of the sorted-prefix table + shared broad

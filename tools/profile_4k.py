@@ -118,11 +118,17 @@ def main():
               f"small_pairs={npairs}", flush=True)
 
     variants = [
-        ("prep+pack only", prep_pack, False),
         ("bin-only flat t32", bin_flat(32, 8, 1536), False),
-        ("full flat t32", make_frame(dict(cfg, flat_bins=True)), True),
-        ("phase1 flat t32",
-         make_frame(dict(cfg, flat_bins=True, skip_shading=True)), True),
+        ("phase1 flat chunk16", make_frame(
+            dict(cfg, flat_bins=True, skip_shading=True)), True),
+        ("phase1 flat chunk32", make_frame(
+            dict(cfg, flat_bins=True, skip_shading=True, chunk=32)), True),
+        ("phase1 flat chunk8", make_frame(
+            dict(cfg, flat_bins=True, skip_shading=True, chunk=8)), True),
+        ("phase1 flat c16 cols4", make_frame(
+            dict(cfg, flat_bins=True, skip_shading=True, cols=4)), True),
+        ("full flat chunk32 cols4", make_frame(
+            dict(cfg, flat_bins=True, chunk=32, cols=4)), True),
     ]
     for name, fn, takes_fb in variants:
         try:

@@ -5,11 +5,12 @@ RESULT (2026-08-17, repeats=2): NO — keep the soup on dense bins.
   CURRENT dense t16   19.90 ms (10.05 Mtris/s)
   flat t16            24.48 ms   flat t16 cap384  24.35   flat t8 cols4  28.95
   flat t16 tight bgt  24.06 ms
-At 1020 tiles / 200k tris the dense assembly is only a few ms while flat pays
-~2 us of per-tile DMA issue+wait x 2040 windows (not overlapped across grid
-steps). flat_bins wins where dense assembly dominates (1M tris / 2040 tiles
-at 4K: 243 -> 205 ms); crossover is roughly "gather+assembly >> n_tiles x
-DMA latency".
+At 1020 tiles / 200k tris the dense assembly is only a few ms while flat
+pays per-tile window overheads the small frame cannot amortize — and the
+round-3 cross-step DMA prefetch did NOT close the gap (24.1 vs 20.0 ms
+re-measured), so the delta is per-step manual-copy overhead, not exposed
+latency. flat_bins wins where dense assembly dominates (1M tris / 2040
+tiles at 4K: 243 -> ~200 ms).
 """
 
 import os
