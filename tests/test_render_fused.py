@@ -298,6 +298,12 @@ def test_fused_matches_ref_fuzz(seed):
         use_ybounds=bool(rng.random() < 0.5),
         batch_rows=int(rng.choice([8, 16])),
     )
+    if rng.random() < 0.4:
+        # flat-bins production mode rides the same fuzz coverage (forces
+        # use_ybounds off and, half the time, tiered emission via mid_cap)
+        opts.update(flat_bins=True, pair_budget=8_192, use_ybounds=False)
+        if rng.random() < 0.5:
+            opts["mid_cap"] = 512
     clear = (0.03, 0.05, 0.08, 1)
 
     fb_r = fblib.clear(fblib.create(H, W), jnp.asarray(clear, jnp.float32))
