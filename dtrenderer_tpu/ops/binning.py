@@ -218,9 +218,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
                        broad_sel, n_broad, broad_dropped, perm,
                        pair_budget: int, T: int, K: int, broad_cap: int,
                        n_ty: int, n_tx: int, tile_h: int, n_slabs: int,
-                       rank_space: bool, y_sorted: bool,
-                       gather_bands: int = 1, band_window: int = 0,
-                       y0_sorted=None, max_h=None) -> Bins:
+                       rank_space: bool, y_sorted: bool) -> Bins:
     """Prefix-gather bin assembly (see bin_triangles docstring, pair_budget).
 
     Gathers table rows ONCE for the first Lp sorted pairs, then assembles the
@@ -229,18 +227,11 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     high triangle counts. Produces the same Bins (incl. the padding-id
     contract: slots >= count carry id -1).
 
-    gather_bands = B > 1 (requires rank_space): split the Lp-row gather into
-    B per-tile-row-band gathers of Lp/B rows, each from a [band_window]-row
-    window of the y0-RANK-ordered table (pairs sort tile-major, so sorted-
-    prefix rows are band-contiguous; a band's pairs reference only triangles
-    whose y span reaches it, a window of the y0-sorted table bounded via
-    searchsorted + the max small-triangle bbox height). XLA TPU row-gather
-    cost per row GROWS with the source-table size (measured
-    tools/micro_gather4k.py: 6.6 ns/row from a 125k-row table vs 17.5+ from
-    1M), so B sub-gathers beat one big one ~2.5x at 1M tris. Real pairs whose
-    rank falls outside the static window are dropped as pad rows and COUNTED
-    in overflow (never silent; pad rows have all-zero edge coefficients and
-    can never rasterize)."""
+    (A windowed per-band sub-gather variant once lived here — XLA row-gather
+    cost grows with source-table size, tools/micro_gather4k.py — but its
+    rank-space sorts ate the gain at every measured scale, its window-miss
+    pad rows could corrupt the y-sorted slab bounds, and flat_bins superseded
+    it; removed.)"""
     n_tiles = n_ty * n_tx
     # clamp to the sorted-pair array length: tiny scenes have fewer keys than
     # the 128-row gather floor (slicing clamps, but the sentinel-spread iota
@@ -283,54 +274,12 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
               & I32(0x7FFFFFFF)) % T  # hashed: ascending runs also serialize
     ranks_pref = jnp.where(is_sent, spread, key_pref % (T + 1))
 
-    B = int(gather_bands)
-    if B > 1:
-        # --- banded gather: B windowed sub-gathers of Lb rows each ---
-        W = int(band_window)
-        Lb = _ceil_div(Lp, B)
-        L_total = key_sorted.shape[0]
-        rows_per_band = _ceil_div(n_ty, B)
-        iota_lb = jnp.arange(Lb, dtype=I32)
-        pstarts, chunks = [], []
-        oow = jnp.zeros((), I32)
-        for b in range(B):
-            tile_lo = min(b * rows_per_band * n_tx, n_tiles)
-            tile_hi = min((b + 1) * rows_per_band * n_tx, n_tiles)
-            p_lo = jnp.minimum(starts[tile_lo], I32(L_total - Lb))
-            pstarts.append(p_lo)
-            key_b = jax.lax.dynamic_slice(key_sorted, (p_lo,), (Lb,))
-            ranks = key_b % (T + 1)
-            # triangles reaching this band have y0 >= band_y_lo - max_h
-            lo_y = I32(b * rows_per_band * tile_h) - max_h
-            win_lo = jnp.clip(jnp.searchsorted(y0_sorted, lo_y).astype(I32),
-                              0, T - W)
-            sub = jax.lax.dynamic_slice(table, (win_lo, 0), (W, Cp))
-            local = ranks - win_lo
-            in_win = (local >= 0) & (local < W)
-            chunks.append(jnp.where(in_win[:, None],
-                                    sub[jnp.clip(local, 0, W - 1)],
-                                    pad_row[None, :]))
-            # count real pairs of THIS band that missed the window (a too-
-            # small band_window; pad rows never rasterize, so this is a
-            # counted drop, not corruption)
-            gpos = p_lo + iota_lb
-            realb = (gpos >= starts[tile_lo]) & (gpos < starts[tile_hi])
-            oow = oow + jnp.sum((realb & ~in_win).astype(I32))
-        table_g = jnp.concatenate(chunks)                   # [B*Lb, Cp]
-        band_of_tile = jnp.minimum(
-            jnp.arange(n_tiles, dtype=I32) // (rows_per_band * n_tx), B - 1)
-        pst_t = jnp.stack(pstarts)[band_of_tile]            # [n_tiles]
-        starts_c = jnp.clip(band_of_tile * Lb + (starts[:-1] - pst_t),
-                            0, B * Lb)
-        budget_cap = jnp.maximum(pst_t + Lb - starts[:-1], 0)
-    else:
-        # THE gather: Lp rows instead of n_tiles*K. Sentinel tail rows are
-        # garbage — they sort after every real pair, so no tile range reaches
-        # them unless that tile's rows were cut by the budget (counted below).
-        table_g = table[jnp.minimum(ranks_pref, T - 1)]     # [Lp, Cp]
-        starts_c = jnp.minimum(starts[:-1], Lp)
-        budget_cap = jnp.maximum(Lp - starts[:-1], 0)
-        oow = jnp.zeros((), I32)
+    # THE gather: Lp rows instead of n_tiles*K. Sentinel tail rows are
+    # garbage — they sort after every real pair, so no tile range reaches
+    # them unless that tile's rows were cut by the budget (counted below).
+    table_g = table[jnp.minimum(ranks_pref, T - 1)]         # [Lp, Cp]
+    starts_c = jnp.minimum(starts[:-1], Lp)
+    budget_cap = jnp.maximum(Lp - starts[:-1], 0)
 
     small_rows = _extract_ranges_rows(table_g, starts_c, K)  # [n_tiles, K, Cp]
 
@@ -368,7 +317,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     return Bins(
         setup=setup.reshape(n_ty, n_tx, K, 17 + P),
         counts=counts.reshape(n_ty, n_tx),
-        overflow=(small_overflow + broad_dropped + oow).astype(I32),
+        overflow=(small_overflow + broad_dropped).astype(I32),
         slab_bounds=slab_bounds,
     )
 
@@ -477,21 +426,30 @@ def bin_triangles_flat(
     small_overflow = jnp.sum(counts_small - cnt)
 
     # --- shared broad block (every tile walks it) ---
-    Bc = max(int(broad_cap), 1)
-    B_pad = _ceil_div(Bc, 8) * 8
-    broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
-    broad_sorted = (jnp.sort(broad_key)[:Bc] if T >= Bc else jnp.pad(
-        jnp.sort(broad_key), (0, Bc - T), constant_values=T))
-    n_broad = jnp.minimum(jnp.sum(broad.astype(I32)), Bc)
-    jb = jnp.arange(Bc, dtype=I32)
-    broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)
-    broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - Bc, 0)
-    broad_rows = jnp.where((broad_ids >= 0)[:, None],
-                           table[jnp.maximum(broad_ids, 0)], 0.0)
-    broad_rows = jnp.pad(broad_rows, ((0, B_pad - Bc), (0, 0)))
-    B_pad128 = _ceil_div(Bc, 128) * 128
-    broad_cm = jnp.pad(jnp.transpose(broad_rows[:Bc, 17:17 + P], (1, 0)),
-                       ((0, 0), (0, B_pad128 - Bc)))
+    # broad_cap == 0 matches the dense path: every broad triangle is DROPPED
+    # and counted (the kernel's tie_by_id=False fast path requires slot
+    # order == id order, which a kept broad would break).
+    Bc = int(broad_cap)
+    if Bc == 0:
+        n_broad = jnp.zeros((), I32)
+        broad_dropped = jnp.sum(broad.astype(I32))
+        broad_rows = jnp.zeros((8, 128), jnp.float32)
+        broad_cm = jnp.zeros((table_cm.shape[0], 128), jnp.float32)
+    else:
+        B_pad = _ceil_div(Bc, 8) * 8
+        broad_key = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
+        broad_sorted = (jnp.sort(broad_key)[:Bc] if T >= Bc else jnp.pad(
+            jnp.sort(broad_key), (0, Bc - T), constant_values=T))
+        n_broad = jnp.minimum(jnp.sum(broad.astype(I32)), Bc)
+        jb = jnp.arange(Bc, dtype=I32)
+        broad_ids = jnp.where(jb < n_broad, broad_sorted, -1)
+        broad_dropped = jnp.maximum(jnp.sum(broad.astype(I32)) - Bc, 0)
+        broad_rows = jnp.where((broad_ids >= 0)[:, None],
+                               table[jnp.maximum(broad_ids, 0)], 0.0)
+        broad_rows = jnp.pad(broad_rows, ((0, B_pad - Bc), (0, 0)))
+        B_pad128 = _ceil_div(Bc, 128) * 128
+        broad_cm = jnp.pad(jnp.transpose(broad_rows[:Bc, 17:17 + P], (1, 0)),
+                           ((0, 0), (0, B_pad128 - Bc)))
 
     return FlatBins(
         table=table_g,
@@ -509,7 +467,7 @@ def bin_triangles_flat(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "small_span", "broad_cap", "n_slabs", "pair_budget",
-                     "gather_bands", "band_window", "mid_cap"),
+                     "mid_cap"),
 )
 def bin_triangles(
     coef,
@@ -525,8 +483,6 @@ def bin_triangles(
     payload=None,
     n_slabs: int = 1,
     pair_budget: int | None = None,
-    gather_bands: int = 1,
-    band_window: int | None = None,
     mid_cap: int | None = None,
 ) -> Bins:
     """coef f32 [T,16], bbox i32 [T,4] (x0,y0,x1,y1 inclusive), valid bool [T].
@@ -554,18 +510,6 @@ def bin_triangles(
     (n_tiles*K ≳ 1M rows: 4K/1M tris went 402 -> 240 ms); at soup scale
     (1020x512) the row-block slices cost MORE than the ~5 ms gather they
     replace (measured 19.9 -> 27 ms — don't use it there).
-
-    gather_bands (with pair_budget only): split the prefix gather into B
-    per-tile-row-band gathers from [band_window]-row windows of the y0-sorted
-    table — TPU row-gather cost per row grows with source-table size, so sub-
-    table gathers are ~2.5x cheaper at 1M tris (see _bin_prefix_gather).
-    IMAGE-identical but NOT slot-order-identical when n_slabs == 1: bins come
-    out y0-rank-ordered, not id-ordered, so the fused kernel must tie-break
-    depth by the id channel (render_fused forces tie_by_id). band_window:
-    static window rows (None = 2x the mean band share, rounded up); real pairs
-    whose triangle misses the window are dropped AND counted in overflow —
-    audit after changing it. Uniform scenes fit easily; pathologically
-    y-clustered scenes need a bigger window or gather_bands=1.
 
     NOTE padding slots (slot >= counts[tile]) carry id -1 in the bitcast id
     channel but GARBAGE (row-0 or neighbor-row) values in the coef/payload
@@ -611,34 +555,20 @@ def bin_triangles(
     y_sorted = n_slabs > 1
     use_prefix = (packed_fits and pair_budget is not None
                   and int(pair_budget) < T * small_span)
-    # banded gather config (prefix path only; see docstring)
-    B = int(gather_bands) if (use_prefix and gather_bands) else 1
-    B = max(1, min(B, n_ty))
-    W = 0
-    if B > 1:
-        W = (int(band_window) if band_window is not None
-             else 2 * _ceil_div(T, B))
-        W = min(max(W, 1), T)
-        if W >= T:
-            B = 1  # window spans the whole table: bands are pure overhead
-    # rank space: per-tile lists ordered by y0-rank instead of id. Needed for
-    # slab bounds (y_sorted) and for banded-gather window locality. The sort
-    # key masks non-small triangles to the end (broads/invalid never enter
-    # the pair lists, and compact windows want only pair-able rows in front).
-    rank_space = y_sorted or B > 1
-    y0_sorted = max_h = None
+    # rank space: per-tile lists ordered by y0-rank instead of id (needed for
+    # the y-sorted slab bounds). The sort key masks non-small triangles to
+    # the end (broads/invalid never enter the pair lists).
+    rank_space = y_sorted
     if rank_space:
         iota_t = jnp.arange(T, dtype=I32)
         y0s = jnp.where(small, bbox[:, 1], I32(2**30))
-        y0_sorted, perm = jax.lax.sort(
+        _, perm = jax.lax.sort(
             (y0s, iota_t), num_keys=2
         )  # perm[r] = id of the r-th triangle ordered by (y0, id)
         # inverse permutation WITHOUT a scatter (XLA TPU scatters are slow):
         # sorting perm back to iota carries each rank to its id's position.
         _, rank = jax.lax.sort((perm, iota_t), num_keys=1)
         rank_b = jnp.broadcast_to(rank[:, None], tile.shape)
-        if B > 1:
-            max_h = jnp.max(jnp.where(small, bbox[:, 3] - bbox[:, 1], 0))
     else:
         perm = None
         rank_b = jnp.broadcast_to(tri_ids, tile.shape)
@@ -691,7 +621,6 @@ def bin_triangles(
             broad_sel, n_broad, broad_dropped, perm,
             int(pair_budget), T, K, broad_cap, n_ty, n_tx, tile_h, n_slabs,
             rank_space, y_sorted,
-            gather_bands=B, band_window=W, y0_sorted=y0_sorted, max_h=max_h,
         )
 
     # The per-tile lists stay in RANK space all the way to the final row

@@ -271,8 +271,7 @@ def draw_mesh(
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
-                             "gather_bands", "band_window", "flat_bins",
-                             "row_bands", "mid_cap")
+                             "flat_bins", "row_bands", "mid_cap")
             }
 
     if mvp is None:

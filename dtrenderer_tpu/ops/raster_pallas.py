@@ -163,8 +163,6 @@ def rasterize_pallas(
     broad_cap: int = 128,
     interpret: bool | None = None,
     pair_budget: int | None = None,
-    gather_bands: int = 1,
-    band_window: int | None = None,
 ):
     """Binned tiled visibility raster. Returns (z, tri, overflow) — like
     rasterize_ref (+offsets) plus the bin-overflow count (dropped (tile, tri)
@@ -200,8 +198,7 @@ def rasterize_pallas(
         coef, local, in_shard, height, width,
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
-        pair_budget=pair_budget, gather_bands=int(gather_bands),
-        band_window=band_window,
+        pair_budget=pair_budget,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     z, tri = _raster_from_bins(

@@ -226,8 +226,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  skip_shading: bool = False, cols: int = 1,
                  layout: PayloadLayout = FULL_LAYOUT,
                  use_ybounds: bool = True, batch_rows: int = 8,
-                 tie_by_id: bool = True, flat: bool = False,
-                 broad_lanes: int = 128):
+                 tie_by_id: bool = True, flat: bool = False):
     n_pix = tile_h * tile_w
     batch_px = batch_rows * 128
     assert n_pix % batch_px == 0, "tile must hold whole shading batches"
@@ -928,8 +927,7 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
                           use_ybounds=False, batch_rows=batch_rows,
-                          tie_by_id=tie_by_id, flat=True,
-                          broad_lanes=fbins.broad_cm.shape[1])
+                          tie_by_id=tie_by_id, flat=True)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
         pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
@@ -942,8 +940,14 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # broad channel-major
         pl.BlockSpec(memory_space=pltpu.VMEM),   # tex LUT
     ]
+    # the broad phase-1 loop reads [chunk]-row slices: pad the block so its
+    # last chunk never slices past the end (Mosaic rejects OOB sublane reads)
+    broad_rm = fbins.broad
+    rpad = (-broad_rm.shape[0]) % max(chunk, 8)
+    if rpad:
+        broad_rm = jnp.pad(broad_rm, ((0, rpad), (0, 0)))
     inputs = [counts, starts, fbins.n_broad.reshape(1, 1), offsets, scalars,
-              fbins.table, fbins.table_cm, fbins.broad, fbins.broad_cm,
+              fbins.table, fbins.table_cm, broad_rm, fbins.broad_cm,
               tex_lut]
     z_flat, src_flat = pl.pallas_call(
         kernel,
@@ -1089,8 +1093,6 @@ def render_fused(
     use_ybounds: bool | None = None,
     batch_rows: int | None = None,
     pair_budget: int | None = None,
-    gather_bands: int = 1,
-    band_window: int | None = None,
     flat_bins: bool = False,
     mid_cap: int | None = None,
 ):
@@ -1103,7 +1105,7 @@ def render_fused(
     broad block from VMEM (slots >= capacity). Image-identical to the dense
     path when bins do not overflow (under overflow the two paths legitimately
     drop different pairs). Requires pair_budget; incompatible with
-    use_ybounds/gather_bands (no slab ranges in the flat table yet).
+    use_ybounds (no slab ranges in the flat table yet).
 
     payload: f32 [T, layout.n_payload] per-triangle channels packed by
     pack_payload for `layout` (see module docstring). tex_lut:
@@ -1137,9 +1139,8 @@ def render_fused(
     # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
     # [smalls by id][broads by id], so the cheap slot tie-break only equals
     # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
-    # carries the id channel. Y-sorted bins always need the id channel, and
-    # so do banded gathers (they y0-rank-order the bins even at n_slabs == 1).
-    tie_by_id = use_ybounds or broad_cap > 0 or gather_bands > 1
+    # carries the id channel. Y-sorted bins always need the id channel.
+    tie_by_id = use_ybounds or broad_cap > 0
     if batch_rows is None:
         # Wider shading batches amortize per-batch fixed costs (segment loads,
         # tap-range reductions); 32 rows is the measured plateau. min(32,
@@ -1189,7 +1190,6 @@ def render_fused(
 
     if flat_bins:
         assert pair_budget is not None, "flat_bins requires pair_budget"
-        assert gather_bands <= 1, "flat_bins and gather_bands are exclusive"
         from dtrenderer_tpu.ops.binning import bin_triangles_flat
 
         fbins = bin_triangles_flat(
@@ -1216,8 +1216,7 @@ def render_fused(
         tile_h=tile_h, tile_w=tile_w, capacity=capacity,
         small_span=small_span, broad_cap=broad_cap,
         payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
-        pair_budget=pair_budget, gather_bands=int(gather_bands),
-        band_window=band_window,
+        pair_budget=pair_budget, mid_cap=mid_cap,
     )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(

@@ -482,94 +482,6 @@ def test_fused_pair_budget_image_identical():
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
 
 
-@pytest.mark.parametrize("bands,n_slabs,tile_h", [(2, 4, 32), (4, 1, 8)])
-def test_binning_gather_bands_matches_default(bands, n_slabs, tile_h):
-    """Banded prefix gather vs plain prefix gather. With y-sorted bins
-    (n_slabs > 1) the slot order is identical, so Bins must match exactly.
-    At n_slabs == 1 the banded path y0-rank-orders each tile's list (the
-    plain path id-orders it) — counts, overflow, and the per-tile id SETS
-    must still match (depth resolve is order-free)."""
-    from dtrenderer_tpu.ops.binning import bin_triangles
-    from dtrenderer_tpu.ops.pipeline import prepare_draw
-    from dtrenderer_tpu.ops.shading import make_light
-
-    soup = primitives.random_triangle_soup(3_000, rng_seed=13, extent=1.2)
-    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.3)))
-    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
-                                make_light(), (1, 1, 1, 1), "gouraud",
-                                W, H, True, False)
-    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
-    kw = dict(tile_h=tile_h, tile_w=128, capacity=2048, small_span=4,
-              broad_cap=64, payload=payload, n_slabs=n_slabs,
-              pair_budget=8_000)
-    base = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W, **kw)
-    band = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
-                         gather_bands=bands, **kw)
-    assert int(np.asarray(band.overflow)) == 0
-    if n_slabs > 1:
-        _bins_equal(base, band)
-    else:
-        ca, cb = np.asarray(base.counts), np.asarray(band.counts)
-        assert np.array_equal(ca, cb)
-        ids_a = np.asarray(base.setup)[..., 16].view(np.int32)
-        ids_b = np.asarray(band.setup)[..., 16].view(np.int32)
-        K = ids_a.shape[2]
-        valid = np.arange(K)[None, None, :] < ca[..., None]
-        assert np.all(ids_b[~valid] == -1), "padding slots must carry id -1"
-        for ty in range(ids_a.shape[0]):
-            for tx in range(ids_a.shape[1]):
-                n = ca[ty, tx]
-                assert np.array_equal(np.sort(ids_a[ty, tx, :n]),
-                                      np.sort(ids_b[ty, tx, :n])), (
-                    f"tile ({ty},{tx}) id sets differ")
-
-
-def test_binning_gather_bands_window_miss_is_counted():
-    """A too-small band_window must COUNT its drops in overflow, never
-    silently fetch wrong rows (pad rows cannot rasterize)."""
-    from dtrenderer_tpu.ops.binning import bin_triangles
-    from dtrenderer_tpu.ops.pipeline import prepare_draw
-    from dtrenderer_tpu.ops.shading import make_light
-
-    soup = primitives.random_triangle_soup(2_000, rng_seed=13, extent=1.2)
-    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.3)))
-    setup, _ = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
-                            make_light(), (1, 1, 1, 1), "gouraud",
-                            W, H, True, False)
-    tiny = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
-                         tile_h=8, capacity=256, small_span=4,
-                         pair_budget=6_000, gather_bands=4, band_window=8)
-    assert int(np.asarray(tiny.overflow)) > 0, (
-        "window misses must be COUNTED, never hidden")
-
-
-@pytest.mark.parametrize("opts", [
-    dict(tile_h=8, capacity=2048, small_span=4, pair_budget=7_000,
-         gather_bands=4),
-    dict(tile_h=32, capacity=2048, small_span=4, pair_budget=7_000,
-         gather_bands=2, use_ybounds=True),
-])
-def test_fused_gather_bands_image_identical(opts):
-    """End-to-end: a fused render with banded prefix gather equals the
-    default path byte-for-byte (with and without slab culling). Capacity is
-    overflow-free by construction — under bin overflow the two paths would
-    legitimately drop DIFFERENT pairs (y0-rank vs id slot order)."""
-    soup = primitives.random_triangle_soup(2_500, rng_seed=17, extent=1.1)
-
-    def run(o):
-        fb = fblib.clear(fblib.create(H, W),
-                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
-        return draw_mesh(fb, soup, MODEL, PROJ, shading="gouraud",
-                         backend="fused", near_clip=False, raster_opts=o)
-
-    base = {k: v for k, v in opts.items()
-            if k not in ("pair_budget", "gather_bands")}
-    a = run(base)
-    b = run(opts)
-    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
-    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
-
-
 @pytest.mark.parametrize("opts", [
     dict(tile_h=8, capacity=128, small_span=4, broad_cap=64,
          pair_budget=4096, flat_bins=True, mid_cap=512),
@@ -742,3 +654,35 @@ def test_flat_binning_mid_cap_overflow_counted():
     assert int(np.asarray(roomy.overflow)) == 0
     assert int(np.asarray(tight.overflow)) > 0, (
         "mid_cap drops must be counted, never hidden")
+
+
+def test_fused_flat_broad_cap_zero_matches_dense():
+    """broad_cap=0 must DROP broad triangles (counted) on the flat path
+    exactly like the dense path — a kept broad would also break the
+    tie_by_id=False slot-order==id-order contract."""
+    import dtrenderer_tpu.models.mesh as meshlib
+
+    soup = primitives.random_triangle_soup(300, rng_seed=23, extent=1.0)
+    floor_v = np.array([[-8, -8, -1.0], [8, -8, -1.0], [0, 8, -1.0]],
+                       np.float32)
+    floor = meshlib.make_mesh(floor_v)  # screen-filling: broad at any tile
+
+    def run(o):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        fb = draw_mesh(fb, floor, MODEL, PROJ, color=(0.3, 0.5, 0.2, 1.0),
+                       shading="none", backend="fused", raster_opts=o,
+                       cull_backfaces=False)
+        fb = draw_mesh(fb, soup, MODEL, PROJ, light=LIGHT,
+                       shading="gouraud", backend="fused", raster_opts=o)
+        return fb
+
+    base = dict(tile_h=8, capacity=256, small_span=4, broad_cap=0)
+    a = run(base)
+    b = run(dict(base, flat_bins=True, pair_budget=4096))
+    assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+    # the screen-filling floor must NOT have rendered on either path (it is
+    # broad and broad_cap is 0): uncovered corners keep the clear color
+    corner = np.asarray(a.color)[0, 0]
+    np.testing.assert_allclose(corner, [0.02, 0.02, 0.05, 1], rtol=1e-6)

@@ -95,10 +95,6 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_sentinel_tail():
     """Does a duplicated-row tail (sentinel pairs all decoding to row 0)
     explain the 38 ns/row real-index gather vs 17 ns synthetic?"""
@@ -132,3 +128,5 @@ if __name__ == "__main__":
     import sys as _s
     if "--sentinel" in _s.argv:
         probe_sentinel_tail()
+    else:
+        main()

@@ -65,16 +65,14 @@ def main():
         payload = pack_payload(attrs10, layout, (0, 64, 64), 0.0)
         return setup.coef, setup.bbox, setup.valid, payload
 
-    def bin_only(tile_h, small_span, cap, n_slabs, pair_budget=None,
-                 gather_bands=1):
+    def bin_only(tile_h, small_span, cap, n_slabs, pair_budget=None):
         def f(t):
             coef, bbox, valid, payload = prep_pack(t)
             bins = bin_triangles(coef, bbox, valid, h, w, tile_h=tile_h,
                                  tile_w=128, capacity=cap,
                                  small_span=small_span, broad_cap=128,
                                  payload=payload, n_slabs=n_slabs,
-                                 pair_budget=pair_budget,
-                                 gather_bands=gather_bands)
+                                 pair_budget=pair_budget)
             return bins.setup, bins.counts
         return f
 
