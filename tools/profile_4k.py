@@ -77,11 +77,9 @@ def main():
         return f
 
     # CURRENT production config-5 settings (models/scenes.make_config5):
-    # cap 1536, small_span 8, prefix-gather pair_budget 1.7x, t32, no slab
-    # culling, cols=2. Measured split of the 247.5 ms frame (2026-08-17):
-    # prep 4.1 | binning 116.6 | phase-1 75.0 | shading 51.8. The banded
-    # variants attack binning (windowed sub-table gathers) and phase-1
-    # (slab culling rides the y-sort the bands need anyway).
+    # cap 1536, small_span 8, flat_bins + 1.4x pair budget, t32, chunk 32,
+    # no slab culling, cols=2. Post-round-3 split of the ~206 ms frame:
+    # prep ~5 | binning ~62 | phase-1 ~79 | shading+merge ~60.
     budget = int(1.4 * n_tris)  # production config-5 setting (scenes.py)
     cfg = dict(capacity=1536, small_span=8, chunk=16, use_ybounds=False,
                cols=2, pair_budget=budget)
