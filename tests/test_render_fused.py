@@ -686,3 +686,47 @@ def test_fused_flat_broad_cap_zero_matches_dense():
     # broad and broad_cap is 0): uncovered corners keep the clear color
     corner = np.asarray(a.color)[0, 0]
     np.testing.assert_allclose(corner, [0.02, 0.02, 0.05, 1], rtol=1e-6)
+
+
+def test_emit_pair_keys_tiered_equals_single_tier():
+    """The two-tier emission's SORTED key set must be identical to the
+    naive [T, small_span] slot matrix — the invariant that makes tiering
+    invisible to every consumer (bins, counts, images)."""
+    from dtrenderer_tpu.ops.binning import _emit_pair_keys
+
+    r = np.random.default_rng(41)
+    T, ss, n_tx, n_ty = 500, 8, 6, 7
+    n_tiles = n_tx * n_ty
+    tx0 = jnp.asarray(r.integers(0, n_tx, T), jnp.int32)
+    ty0 = jnp.asarray(r.integers(0, n_ty, T), jnp.int32)
+    # spans biased small but covering the full 1..ss range (and beyond-span
+    # "broads" excluded via the small mask, like the real caller)
+    span_w = jnp.asarray(np.minimum(r.geometric(0.6, T), 4), jnp.int32)
+    span_h = jnp.asarray(np.minimum(r.geometric(0.6, T), 4), jnp.int32)
+    span_w = jnp.minimum(span_w, n_tx - tx0)
+    span_h = jnp.minimum(span_h, n_ty - ty0)
+    n_cover = span_w * span_h
+    small = (n_cover > 0) & (n_cover <= ss) & jnp.asarray(
+        r.random(T) < 0.9)
+    n_cover = jnp.where(small, n_cover, 0)
+    rank_vec = jnp.arange(T, dtype=jnp.int32)
+
+    tiered, ovf = _emit_pair_keys(small, n_cover, tx0, ty0, span_w, rank_vec,
+                                  T, n_tiles, n_tx, ss, mid_cap=256)
+    # rebuild the naive [T, ss] matrix for the ground truth
+    s = jnp.arange(ss, dtype=jnp.int32)[None, :]
+    sw = jnp.maximum(span_w, 1)[:, None]
+    tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
+    in_span = small[:, None] & (s < n_cover[:, None])
+    SENT = np.int32(n_tiles * (T + 1))
+    naive = np.where(np.asarray(in_span),
+                     np.asarray(tile) * (T + 1) + np.arange(T)[:, None],
+                     SENT).ravel()
+
+    assert int(np.asarray(ovf)) == 0
+    a = np.sort(np.asarray(tiered))
+    b = np.sort(naive)
+    # identical REAL keys; tiered has fewer sentinel slots by construction
+    a_real = a[a < SENT]
+    b_real = b[b < SENT]
+    assert np.array_equal(a_real, b_real)
