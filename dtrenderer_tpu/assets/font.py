@@ -6,9 +6,11 @@ a monospace ASCII grid (16 cols x 6 rows covering codes 32..126) baked host-side
 and uploaded as a coverage (alpha) texture; the device-side text op (ops/text.py)
 renders strings as pure gathers from the atlas with no per-glyph host loop.
 
-Baking uses PIL with a real TTF when available (DejaVu Sans Mono via matplotlib's
-bundled fonts) and falls back to PIL's built-in bitmap font; a from-scratch native TTF
-rasterizer is planned for the dtr_native extension.
+Baking prefers the from-scratch native TTF rasterizer (native/dtr_font.cpp — cmap,
+glyf + composites, AA scanline fill; the stb_truetype counterpart, see
+bake_builtin_font below), falling back to PIL with a real TTF (DejaVu Sans Mono via
+matplotlib's bundled fonts) and finally to PIL's built-in bitmap font when
+neither is available.
 """
 
 from __future__ import annotations

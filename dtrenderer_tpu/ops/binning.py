@@ -153,7 +153,7 @@ def _extract_ranges(flat, starts, K: int, batch: int = 16):
 
 def _emit_pair_keys(small, n_cover, tx0, ty0, span_w, rank_vec,
                     T: int, n_tiles: int, n_tx: int, small_span: int,
-                    mid_cap: int | None = None):
+                    mid_cap: int | None = None, auto_tier: bool = False):
     """Packed (tile, rank) pair keys as ONE flat i32 array, ready to sort.
 
     Two-tier emission when small_span > 2: most triangles in a dense scene
@@ -164,6 +164,13 @@ def _emit_pair_keys(small, n_cover, tx0, ty0, span_w, rank_vec,
     Emitted keys are identical to the single-tier matrix, so downstream bins
     never change. Returns (keys, mid_overflow): pairs of mid triangles beyond
     mid_cap (auto: T/4, 128-quantized) are dropped AND counted.
+
+    Tiering is a DROP MODE (mids past mid_cap are cut, counted in overflow):
+    it only engages when the caller opted into budgeted binning (auto_tier,
+    set by callers that were given pair_budget and therefore already accept
+    audited drops) or forced it with an explicit mid_cap. A plain
+    bin_triangles call never tiers, so its never-drops-below-capacity
+    behavior is unchanged.
     """
     SENT = I32(n_tiles * (T + 1))
     sw = jnp.maximum(span_w, 1)[:, None]
@@ -172,7 +179,8 @@ def _emit_pair_keys(small, n_cover, tx0, ty0, span_w, rank_vec,
     # 200k tris x span 8 (1.6M keys) = a wash (20.8 vs 19.9 ms soup frame),
     # 1M x 8 (8M keys) = bin-only 69.5 -> 62 ms. Gate at 4M slots; an
     # EXPLICIT mid_cap forces tiering on (tests, unusual scenes).
-    if small_span <= 2 or (mid_cap is None and T * small_span < (1 << 22)):
+    if small_span <= 2 or (mid_cap is None
+                           and (not auto_tier or T * small_span < (1 << 22))):
         s = jnp.arange(small_span, dtype=I32)[None, :]
         tile = (ty0[:, None] + s // sw) * n_tx + (tx0[:, None] + s % sw)
         in_span = small[:, None] & (s < n_cover[:, None])
@@ -228,7 +236,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     contract: slots >= count carry id -1).
 
     (A windowed per-band sub-gather variant once lived here — XLA row-gather
-    cost grows with source-table size, tools/micro_gather4k.py — but its
+    cost grows with source-table size, tools/micro_gather_probes.py — but its
     rank-space sorts ate the gain at every measured scale, its window-miss
     pad rows could corrupt the y-sorted slab bounds, and flat_bins superseded
     it; removed.)"""
@@ -252,7 +260,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     # Materialize the concat BEFORE the big row gather: fused, XLA turns the
     # gather-of-concat into one narrow gather PER PART, and row-gather cost is
     # per row (flat in width) — 3 narrow gathers cost ~3x one wide one
-    # (measured 65 -> 29 ms at 1.7M rows, tools/micro_gather_fix.py).
+    # (measured 65 -> 29 ms at 1.7M rows, tools/micro_gather_probes.py).
     table = jax.lax.optimization_barrier(table)
     if rank_space:
         table = table[perm]  # rank-ordered rows: ONE [T]-row gather
@@ -265,7 +273,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     # Sentinel keys decode to row 0; at a generous budget 20-30% of the
     # prefix would hammer that ONE row and HBM serializes on it (the hidden
     # half of the "65 ms gather": ~38 ns/row with the duplicated tail vs ~17
-    # spread — tools/micro_gather_fix.py --sentinel). Spread sentinel ranks
+    # spread — tools/micro_gather_probes.py dup). Spread sentinel ranks
     # over ascending rows instead; the fetched garbage is never reachable
     # (budget cuts are counted and ranges clamp before any sentinel).
     key_pref = key_sorted[:Lp]
@@ -322,10 +330,62 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
     )
 
 
+def _emit_pair_keys_vals(small, n_cover, tx0, sy0, span_w, T: int,
+                         n_slab_tiles: int, n_tx: int, small_span: int,
+                         mid_cap: int | None = None):
+    """Slab-granularity pair emission as (key, value) ARRAYS: key = the
+    slab-tile id alone (no rank packed in — values carry the triangle id
+    through the sort), so the key domain is n_slab_tiles + 1, never
+    n_tiles * T. This is what frees the flat path from the packed-int32
+    2^31 cap: lax.sort((keys, ids), num_keys=1, stable) moves ~2x the data
+    of a keys-only sort but needs no domain headroom at all. Within a
+    slab-tile the stable sort preserves emission order (tier-1 ids
+    ascending, then mid ids ascending) — NOT globally id-sorted, so slab
+    bins always require the kernel's tie_by_id depth-tie path.
+
+    Same two-tier structure as _emit_pair_keys (always on here: slab mode
+    is budget-gated by construction, and slab spans inflate the slot
+    matrix). Returns (keys, vals, mid_overflow)."""
+    SENT = I32(n_slab_tiles)
+    sw = jnp.maximum(span_w, 1)[:, None]
+    iota_t = jnp.arange(T, dtype=I32)
+
+    TIER = 2
+    s2 = jnp.arange(TIER, dtype=I32)[None, :]
+    tile2 = (sy0[:, None] + s2 // sw) * n_tx + (tx0[:, None] + s2 % sw)
+    in2 = (small & (n_cover <= TIER))[:, None] & (s2 < n_cover[:, None])
+    key2 = jnp.where(in2, tile2, SENT)
+    val2 = jnp.broadcast_to(iota_t[:, None], key2.shape)
+
+    is_mid = small & (n_cover > TIER)
+    M = (mid_cap if mid_cap is not None
+         else max(128, _ceil_div(T, 4 * 128) * 128))
+    M = min(M, T)
+    midkey = jnp.where(is_mid, iota_t, jnp.int32(2**31 - 1))
+    midsel = jax.lax.sort(midkey)[:M]
+    midok = midsel != 2**31 - 1
+    midsafe = jnp.where(midok, midsel, 0)
+    packed = jnp.stack([tx0, sy0, jnp.maximum(span_w, 1), n_cover], axis=1)
+    packed = jax.lax.optimization_barrier(packed)
+    pm = packed[midsafe]                                      # [M, 4]
+    sm = jnp.arange(small_span, dtype=I32)[None, :]
+    msw = pm[:, 2:3]
+    tile_m = (pm[:, 1:2] + sm // msw) * n_tx + (pm[:, 0:1] + sm % msw)
+    in_m = midok[:, None] & (sm < pm[:, 3:4])
+    key_m = jnp.where(in_m, tile_m, SENT)
+    val_m = jnp.broadcast_to(midsafe[:, None], key_m.shape)
+    keys = jnp.concatenate([key2.reshape(-1), key_m.reshape(-1)])
+    vals = jnp.concatenate([val2.reshape(-1), val_m.reshape(-1)])
+    mid_overflow = (jnp.sum(jnp.where(is_mid, n_cover, 0))
+                    - jnp.sum(jnp.where(midok, pm[:, 3], 0)))
+    return keys, vals, mid_overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
-                     "small_span", "broad_cap", "pair_budget", "mid_cap"),
+                     "small_span", "broad_cap", "pair_budget", "mid_cap",
+                     "n_slabs"),
 )
 def bin_triangles_flat(
     coef,
@@ -380,7 +440,7 @@ def bin_triangles_flat(
 
     key_flat, mid_overflow = _emit_pair_keys(
         small, n_cover, tx0, ty0, span_w, jnp.arange(T, dtype=I32),
-        T, n_tiles, n_tx, small_span, mid_cap)
+        T, n_tiles, n_tx, small_span, mid_cap, auto_tier=True)
     key_sorted = jax.lax.sort(key_flat)
     bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
     starts = jnp.searchsorted(key_sorted, bounds)
@@ -505,7 +565,13 @@ def bin_triangles(
     blocks are then CONTIGUOUS row slices (bandwidth-bound, not row-latency-
     bound). Bit-identical to the default path; pairs beyond the budget are
     dropped and COUNTED in overflow (audit with pipeline.audit_scene — a
-    budget of ~2.5x the expected real pair count is safe). Ignored on the
+    budget of ~2.5x the expected real pair count is safe). Setting it also
+    opts this call into two-tier span emission at >= 4M slots
+    (_emit_pair_keys): triangles covering 3..small_span tiles are compacted
+    to an auto-sized mid matrix (~T/4 rows) and mids beyond it are DROPPED
+    and counted — audit like any budgeted mode. Without pair_budget (and
+    without an explicit mid_cap) emission never tiers and nothing below
+    capacity is ever dropped. Ignored on the
     multi-key fallback path. ONLY a win when the row gather dominates
     (n_tiles*K ≳ 1M rows: 4K/1M tris went 402 -> 240 ms); at soup scale
     (1020x512) the row-block slices cost MORE than the ~5 ms gather they
@@ -576,9 +642,14 @@ def bin_triangles(
     mid_overflow = jnp.zeros((), I32)
     if packed_fits:
         rank_vec = rank if rank_space else jnp.arange(T, dtype=I32)
+        # Two-tier emission is a drop mode (see _emit_pair_keys): on the
+        # dense path it needs an explicit opt-in — pair_budget (the caller
+        # already accepts audited drops) or mid_cap — and never auto-enables
+        # for a plain bin_triangles call.
         key_flat, mid_overflow = _emit_pair_keys(
             small, n_cover, tx0, ty0, span_w, rank_vec,
-            T, n_tiles, n_tx, small_span, mid_cap)
+            T, n_tiles, n_tx, small_span, mid_cap,
+            auto_tier=pair_budget is not None)
         key_sorted = jax.lax.sort(key_flat)
         bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
         starts = jnp.searchsorted(key_sorted, bounds)

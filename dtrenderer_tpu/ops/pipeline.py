@@ -366,9 +366,14 @@ def _render_fused_banded(coef, bbox, valid, payload, tex_lut, light,
     tiles (t8/t16) at 1M+ triangles on a full 4K frame; banding keeps each
     call's tile count under the cap AND band compaction (shard_budget)
     shrinks each call's sort/gather to ~its band's triangles. Bit-identical
-    to the unbanded frame: pixel ownership is disjoint, binning per band
-    sees exactly the triangles that can touch it, and ids (the depth
-    tie-break) survive compaction (monotone)."""
+    to the unbanded frame AT ZERO OVERFLOW: pixel ownership is disjoint,
+    binning per band sees exactly the triangles that can touch it, and ids
+    (the depth tie-break) survive compaction (monotone). The per-band
+    budgets (auto shard_budget ~2.5x and pair_budget ~1.3x the mean band
+    share) carry skew headroom, but a band-skewed scene can exceed them —
+    misses are COUNTED in the returned overflow, and a banded image with
+    overflow > 0 legitimately diverges from the unbanded one (audit with
+    pipeline.audit_scene / audit_bands before trusting a banded render)."""
     from dtrenderer_tpu.ops.render_fused import render_fused
 
     base_opts = dict(raster_opts or {})
@@ -672,6 +677,104 @@ def audit_scene(view_proj, draws, height, width, light=None,
 
     return (int(np.asarray(bins.overflow)),
             int(np.asarray(bins.counts).max()), capacity)
+
+
+def audit_bands(view_proj, draws, height, width, n_bands: int, light=None,
+                cull_backfaces=True, near_clip=True,
+                raster_opts: dict | None = None):
+    """Host-side pre-flight for BANDED/SHARDED rendering (the sibling of
+    audit_scene, which audits only the full frame): splits the frame into
+    n_bands horizontal bands and reports each band's TRUE triangle count
+    against the shard_budget the banded path would use, plus each band's
+    true (tile, tri) pair count against its pair_budget share. A band-skewed
+    scene (most triangles in one band) exceeds the auto budgets' ~2.5x /
+    ~1.3x mean-share headroom and silently-at-audit-time shows up here —
+    instead of as a render-time overflow counter after the image is already
+    wrong. Run once per scene/config (NOT jitted).
+
+    Returns a dict:
+      n_bands, band_h
+      shard_budget        — the budget each band call would compact to
+                            (explicit raster_opts["shard_budget"] or
+                            render_fused.auto_shard_budget)
+      band_tris           — [n_bands] true triangles touching each band
+      shard_overflow      — total triangles beyond budget across bands
+      pair_budget         — per-band pair budget (None when unbudgeted)
+      band_pairs          — [n_bands] true small (tile, tri) pairs per band
+      pair_overflow       — total pairs beyond the per-band pair budget
+      ok                  — True iff both overflows are zero
+    """
+    import numpy as np
+
+    from dtrenderer_tpu.ops.render_fused import (
+        DEFAULT_RASTER_OPTS, auto_shard_budget,
+    )
+    from dtrenderer_tpu.ops.shading import make_light
+
+    if light is None:
+        light = make_light()
+    assert height % n_bands == 0, (
+        f"n_bands={n_bands} must divide the frame height {height}")
+    band_h = height // n_bands
+    opts = dict(raster_opts or {})
+    tile_h = opts.get("tile_h", DEFAULT_RASTER_OPTS["tile_h"])
+    tile_w = opts.get("tile_w", DEFAULT_RASTER_OPTS["tile_w"])
+    small_span = opts.get("small_span", DEFAULT_RASTER_OPTS["small_span"])
+
+    bboxes, valids = [], []
+    for d in draws:
+        model = d.model
+        normal_mat = d.normal_mat if d.normal_mat is not None else model
+        mvp = mat4mul(view_proj, model)
+        setup, _ = prepare_draw(d.mesh, model, view_proj, mvp, normal_mat,
+                                light, d.color, d.shading, width, height,
+                                cull_backfaces, near_clip)
+        bboxes.append(setup.bbox)
+        valids.append(setup.valid)
+    bbox = np.asarray(jnp.concatenate(bboxes))
+    valid = np.asarray(jnp.concatenate(valids))
+    T = bbox.shape[0]
+
+    shard_budget = opts.get("shard_budget")
+    if shard_budget is None:
+        shard_budget = auto_shard_budget(T, n_bands)
+    pair_budget = opts.get("pair_budget")
+    if pair_budget is not None:
+        # mirror _render_fused_banded's per-band share (1.3x mean, 128-
+        # quantized) and render_fused's 3x-triangle-count clamp
+        pair_budget = max(
+            128, -(-int(pair_budget) * 13 // (10 * n_bands)) // 128 * 128)
+        pair_budget = min(int(pair_budget), 3 * int(shard_budget))
+
+    band_tris = np.zeros(n_bands, np.int64)
+    band_pairs = np.zeros(n_bands, np.int64)
+    for b in range(n_bands):
+        y0, y1 = b * band_h, (b + 1) * band_h - 1
+        in_band = valid & (bbox[:, 3] >= y0) & (bbox[:, 1] <= y1)
+        band_tris[b] = int(in_band.sum())
+        # small-pair count for the band-local tile grid (render_fused clamps
+        # the bbox to the band before binning)
+        lx0 = np.clip(bbox[:, 0], 0, width - 1) // tile_w
+        lx1 = np.clip(bbox[:, 2], 0, width - 1) // tile_w
+        ly0 = (np.clip(bbox[:, 1] - y0, 0, band_h - 1)) // tile_h
+        ly1 = (np.clip(bbox[:, 3] - y0, 0, band_h - 1)) // tile_h
+        cover = (lx1 - lx0 + 1) * (ly1 - ly0 + 1)
+        small = in_band & (cover <= small_span)
+        band_pairs[b] = int(cover[small].sum())
+
+    shard_overflow = int(np.maximum(band_tris - shard_budget, 0).sum())
+    pair_overflow = (0 if pair_budget is None else
+                     int(np.maximum(band_pairs - pair_budget, 0).sum()))
+    return dict(
+        n_bands=n_bands, band_h=band_h,
+        shard_budget=int(shard_budget),
+        band_tris=band_tris.tolist(),
+        shard_overflow=shard_overflow,
+        pair_budget=None if pair_budget is None else int(pair_budget),
+        band_pairs=band_pairs.tolist(),
+        pair_overflow=pair_overflow,
+        ok=(shard_overflow == 0 and pair_overflow == 0),
+    )
 
 
 class DrawSpec:

@@ -235,6 +235,14 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     slab_pix = 8 * tile_w
     assert tile_h % 8 == 0, "tile_h must be a multiple of 8 (VPU sublanes)"
     assert not (flat and use_ybounds), "flat mode has no slab ranges (yet)"
+    # The flat phase-1 loops read [chunk]-row slices from a scratch window of
+    # exactly `capacity` rows (and from the chunk-padded broad block): a
+    # non-dividing chunk's last slice would read past the window into the
+    # adjacent col/slot's rows. capacity % 128 == 0 does NOT imply this
+    # (e.g. chunk=48).
+    if flat:
+        assert capacity % chunk == 0, (
+            f"flat_bins needs chunk ({chunk}) to divide capacity ({capacity})")
 
     n_payload = layout.n_payload
     assert not with_phong or layout.has_normals, (

@@ -15,14 +15,28 @@ from __future__ import annotations
 import hashlib
 import os
 
-# The files whose edits can introduce Mosaic-only failures.
-KERNEL_FILES = ("ops/render_fused.py", "ops/raster_pallas.py", "ops/binning.py")
+# The files whose edits can change the device programs that reach Mosaic.
+# Not just the Pallas kernels: pipeline payload packing / clipping / banding,
+# geometry setup, sampling/shading formulas, and math3d all shape the traced
+# programs (the round-3 gate hashed only 3 files, leaving a blind spot exactly
+# one directory wide) — so the gate hashes ALL of ops/ plus math3d.
+def _kernel_files() -> tuple[str, ...]:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ops = sorted(
+        os.path.join("ops", f)
+        for f in os.listdir(os.path.join(root, "ops"))
+        if f.endswith(".py")
+    )
+    return tuple(ops) + ("utils/math3d.py",)
+
+
+KERNEL_FILES = _kernel_files()
 
 STAMP_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def kernel_hash() -> str:
-    """16-hex content hash of the Pallas kernel sources."""
+    """16-hex content hash of every source that shapes a device program."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     for rel in KERNEL_FILES:

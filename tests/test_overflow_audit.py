@@ -55,6 +55,46 @@ def test_audit_detects_overflow():
     assert overflow > 0, "dense scene at tiny capacity must report overflow"
 
 
+def test_audit_bands_flags_skewed_scene_before_render():
+    """A band-SKEWED scene (all triangles in one band) must be caught by the
+    host-side audit_bands pre-flight — not discovered via the render-time
+    overflow counter after the banded image already diverged. An evenly
+    spread scene passes the same audit."""
+    from dtrenderer_tpu.ops.pipeline import audit_bands
+
+    h, w = 512, 512
+    proj = jnp.asarray(m3.perspective(np.pi / 3, 1.0, 0.1, 100.0))
+
+    # skewed: a small soup squashed into the top ~1/8 of the frame
+    soup = primitives.random_triangle_soup(4_000, rng_seed=5, extent=0.4)
+    mdl_skew = jnp.asarray(
+        m3.model_matrix((0.0, 1.0, -2.0), scale_v=(1.0, 0.1, 1.0)))
+    rep = audit_bands(proj, [DrawSpec(soup, mdl_skew)], h, w, n_bands=8,
+                      near_clip=False,
+                      raster_opts=dict(tile_h=32, capacity=512, small_span=8))
+    assert rep["shard_overflow"] > 0 and not rep["ok"], (
+        f"skewed scene must be flagged host-side: {rep}")
+    # the flagged band really is the hot one
+    assert max(rep["band_tris"]) > rep["shard_budget"]
+
+    # spread: the same soup at full extent audits clean
+    mdl_even = jnp.asarray(m3.model_matrix((0.0, 0.0, -1.6)))
+    rep2 = audit_bands(proj, [DrawSpec(soup, mdl_even)], h, w, n_bands=8,
+                       near_clip=False,
+                       raster_opts=dict(tile_h=32, capacity=512, small_span=8,
+                                        pair_budget=3 * 4_000))
+    assert rep2["ok"], f"even scene should audit clean: {rep2}"
+    assert rep2["pair_budget"] is not None and rep2["pair_overflow"] == 0
+
+    # and an explicit (raised) shard_budget clears the skewed audit — the
+    # knob the report tells the user to turn
+    rep3 = audit_bands(proj, [DrawSpec(soup, mdl_skew)], h, w, n_bands=8,
+                       near_clip=False,
+                       raster_opts=dict(tile_h=32, capacity=512, small_span=8,
+                                        shard_budget=2 * 4_000))
+    assert rep3["shard_overflow"] == 0
+
+
 def test_overflow_flows_out_of_jitted_production_path():
     """Overflow must surface from the PUBLIC API (draw_mesh / draw_meshes with
     return_counters) as a device scalar inside jit — not only via the host-side

@@ -122,3 +122,23 @@ def test_hwgate_stamp_tracks_kernel_sources(tmp_path, monkeypatch):
     monkeypatch.setattr(hwgate, "kernel_hash", lambda: "deadbeefdeadbeef")
     warn = hwgate.check_stamp()
     assert warn is not None and "deadbeef" in warn
+
+
+def test_hwgate_covers_every_device_program_source():
+    """The gate must hash EVERY file whose edits change traced device
+    programs — all of ops/ (pipeline payload packing, geometry, sampling,
+    shading, binning, the kernels) plus math3d — not just the Pallas kernel
+    files (the round-3 blind spot)."""
+    from dtrenderer_tpu.utils import hwgate
+
+    covered = set(hwgate.KERNEL_FILES)
+    for must in ("ops/pipeline.py", "ops/geometry.py", "ops/render_fused.py",
+                 "ops/raster_pallas.py", "ops/binning.py", "ops/sampling.py",
+                 "ops/shading.py", "utils/math3d.py"):
+        assert must in covered, f"hwgate does not hash {must}"
+    # every ops/*.py source is hashed (a new op file is covered by default)
+    pkg = os.path.dirname(os.path.abspath(hwgate.__file__))
+    ops_dir = os.path.join(os.path.dirname(pkg), "ops")
+    for f in os.listdir(ops_dir):
+        if f.endswith(".py"):
+            assert os.path.join("ops", f) in covered

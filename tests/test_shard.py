@@ -75,6 +75,50 @@ def test_frames_x_rows_mesh(cube_scene):
     assert not np.array_equal(colors[0], colors[1])
 
 
+def test_2d_rows_x_cols_sharded_matches_single(cube_scene):
+    """The 2D (rows x cols) framebuffer decomposition: each device owns a
+    rows x cols rectangle, offsets flow through x_offset, and the image is
+    bit-identical to the single-device render (SURVEY.md §5 distributed-comm
+    analog; the round-3 docstring advertised this without implementing it)."""
+    mesh, model, proj, tex, h, w = cube_scene
+    dmesh = shard.make_mesh(frames=1, rows=4, cols=2)
+    assert dmesh.shape["rows"] == 4 and dmesh.shape["cols"] == 2
+
+    fb1 = fblib.create(h, w)
+    single = draw_mesh(fb1, mesh, model, proj, texture=tex, shading="gouraud")
+
+    fb8 = shard.create_sharded_fb(h, w, dmesh)
+    multi = shard.draw_mesh_sharded(fb8, mesh, model, proj, dmesh,
+                                    texture=tex, shading="gouraud")
+    assert np.array_equal(np.asarray(single.depth), np.asarray(multi.depth))
+    assert np.array_equal(np.asarray(single.color), np.asarray(multi.color))
+
+
+def test_2d_frames_x_rows_x_cols_mesh(cube_scene):
+    """frames x rows x cols: data-parallel frames, each frame tiled 2D; the
+    per-tile band function receives its x0 column offset."""
+    mesh, model, proj, tex, h, w = cube_scene
+    dmesh = shard.make_mesh(frames=2, rows=2, cols=2)
+    batch = 2
+    angles = jnp.asarray([0.3, 1.1], jnp.float32)
+
+    def band_fn(band_fb, angle, y0, fh, fw, x0):
+        mdl = m3.model_matrix((0, 0, -4.0), m3.rotate_y(angle))
+        return draw_mesh(
+            band_fb, mesh, mdl, proj, texture=tex, shading="gouraud",
+            frame_height=fh, frame_width=fw, y_offset=y0, x_offset=x0,
+        )
+
+    fb = shard.create_sharded_fb(h, w, dmesh, batch=batch)
+    out = shard.render_frames_sharded(band_fn, fb, dmesh, angles)
+    colors = np.asarray(out.color)
+    for i, ang in enumerate([0.3, 1.1]):
+        fb1 = fblib.create(h, w)
+        mdl = m3.model_matrix((0, 0, -4.0), m3.rotate_y(jnp.float32(ang)))
+        ref = draw_mesh(fb1, mesh, mdl, proj, texture=tex, shading="gouraud")
+        assert np.array_equal(colors[i], np.asarray(ref.color)), f"frame {i}"
+
+
 def test_shard_budget_compaction_bit_exact():
     """Per-band triangle pre-compaction (raster_opts.shard_budget) must keep the
     sharded image bit-identical to single-device while each band bins only its

@@ -108,8 +108,10 @@ def main():
         nb = int(np.asarray(jnp.sum((cover > ss).astype(jnp.int32))))
         nmid = int(np.asarray(jnp.sum(
             ((cover > 2) & (cover <= ss)).astype(jnp.int32))))
-        npairs = int(np.asarray(jnp.sum(
-            jnp.where(cover <= ss, cover, 0), dtype=jnp.int64)))
+        # host-side int64 accumulation: jnp.sum(dtype=int64) silently
+        # downgrades to int32 under the default jax_enable_x64=False
+        npairs = int(np.asarray(
+            jnp.where(cover <= ss, cover, 0)).astype(np.int64).sum())
         print(f"audit t{th} ss{ss}: broads={nb} mids={nmid} "
               f"small_pairs={npairs}", flush=True)
 

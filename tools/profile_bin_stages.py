@@ -1,7 +1,7 @@
 """Attribute config-5 binning time to its internal stages on the TPU.
 
 bin-only at 1M tris / 4K / t32 / K1536 / budget 1.7M measures ~116 ms; the
-Lp-row table gather alone is ~29 ms (tools/micro_gather4k.py) and the 8M-key
+Lp-row table gather alone is ~29 ms (tools/micro_gather_probes.py) and the 8M-key
 sort ~14 ms — this script times the actual stage compositions (sort, prefix
 gather, per-tile row extraction at several lax.map batch sizes, full library
 binning) to find where the remaining ~70 ms lives before committing to a
