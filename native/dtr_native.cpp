@@ -1151,6 +1151,9 @@ struct JDec {
   int hmax = 1, vmax = 1;
   int restart = 0;
   bool progressive = false;
+  // Adobe APP14 color-transform flag: -1 absent, 0 none (RGB/CMYK),
+  // 1 YCbCr, 2 YCCK. Decides the 4-component interpretation (CMYK vs YCCK).
+  int app14_transform = -1;
   const char* err = nullptr;
 };
 
@@ -1441,7 +1444,8 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
       jd.w = ((int)seg[3] << 8) | seg[4];
       jd.ncomp = seg[5];
       if (jd.w <= 0 || jd.h <= 0) return "jpg: bad dims";
-      if (jd.ncomp != 1 && jd.ncomp != 3) return "jpg: 1 or 3 components only";
+      if (jd.ncomp != 1 && jd.ncomp != 3 && jd.ncomp != 4)
+        return "jpg: 1, 3 or 4 components only";
       if (slen < 6 + (size_t)jd.ncomp * 3) return "jpg: bad SOF";
       for (int i = 0; i < jd.ncomp; i++) {
         JComp& c = jd.comp[i];
@@ -1475,6 +1479,9 @@ static const char* jparse_and_decode(const uint8_t* d, size_t n, JDec& jd) {
     } else if (m == 0xDD) {  // DRI (segment payload: 2-byte interval)
       if (slen < 2) return "jpg: bad DRI";
       jd.restart = ((int)seg[0] << 8) | seg[1];
+    } else if (m == 0xEE) {  // APP14: Adobe color-transform flag
+      if (slen >= 12 && memcmp(seg, "Adobe", 5) == 0)
+        jd.app14_transform = seg[11];
     } else if (m == 0xDA) {  // SOS — decode one scan's entropy data
       if (!have_sof) return "jpg: SOS before SOF";
       int ns = seg[0];
@@ -1642,6 +1649,48 @@ static void decode_jpeg(const uint8_t* d, int64_t n, DtrImage* im) {
       uint8_t* out = im->pixels + (size_t)y * w * 4;
       for (int x = 0; x < w; x++) {
         out[x * 4 + 0] = out[x * 4 + 1] = out[x * 4 + 2] = src[x];
+        out[x * 4 + 3] = 255;
+      }
+    }
+    return;
+  }
+  if (jd.ncomp == 4) {
+    // Adobe 4-component JPEG (the last stb_image sub-format): sample values
+    // are stored INVERTED per the Adobe convention (255 = no ink). APP14
+    // transform 2 = YCCK (CMY channels YCbCr-coded; K direct); transform 0
+    // or no Adobe marker = plain CMYK. RGB = C' * K' / 255 on the stored
+    // (inverted) values — the same math PIL's CMYK;I load + convert("RGB")
+    // performs (MULDIV255), so images agree within rounding.
+    std::vector<uint8_t> p0, p1, p2, pk;
+    jupsample(jd, jd.comp[0], p0, w, h);
+    jupsample(jd, jd.comp[1], p1, w, h);
+    jupsample(jd, jd.comp[2], p2, w, h);
+    jupsample(jd, jd.comp[3], pk, w, h);
+    const bool ycck = jd.app14_transform == 2;
+    auto mul255 = [](int a, int b) {
+      int t = a * b + 128;
+      return (uint8_t)((t + (t >> 8)) >> 8);
+    };
+    auto clamp8 = [](long v) {
+      return (int)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    };
+    for (int y = 0; y < h; y++) {
+      uint8_t* out = im->pixels + (size_t)y * w * 4;
+      for (int x = 0; x < w; x++) {
+        size_t i = (size_t)y * w + x;
+        int sc = p0[i], sm = p1[i], sy = p2[i];
+        if (ycck) {
+          // YCbCr->RGB (same kernel as 3-component), then re-invert to the
+          // stored-CMY convention (libjpeg ycck_cmyk_convert / stb order).
+          double Y = p0[i], Cb = p1[i] - 128.0, Cr = p2[i] - 128.0;
+          sc = 255 - clamp8(lround(Y + 1.40200 * Cr));
+          sm = 255 - clamp8(lround(Y - 0.344136286 * Cb - 0.714136286 * Cr));
+          sy = 255 - clamp8(lround(Y + 1.77200 * Cb));
+        }
+        int k = pk[i];
+        out[x * 4 + 0] = mul255(sc, k);
+        out[x * 4 + 1] = mul255(sm, k);
+        out[x * 4 + 2] = mul255(sy, k);
         out[x * 4 + 3] = 255;
       }
     }

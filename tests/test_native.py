@@ -233,6 +233,125 @@ def test_jpg_progressive_matches_pil(rng, tmp_path, subsampling, max_diff):
     assert d.max() <= max_diff, f"max diff {d.max()} > {max_diff}"
 
 
+def _cmyk_gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.zeros((h, w, 4), np.uint8)
+    arr[..., 0] = (xx * 255 / max(w - 1, 1)).astype(np.uint8)
+    arr[..., 1] = (yy * 255 / max(h - 1, 1)).astype(np.uint8)
+    arr[..., 2] = ((xx + yy) * 127 / max(h + w - 2, 1)).astype(np.uint8)
+    arr[..., 3] = 96
+    return arr
+
+
+def test_jpg_cmyk_adobe_matches_pil(tmp_path):
+    """4-component Adobe CMYK JPEG (APP14 transform 0, inverted samples):
+    decodes to the same RGB PIL produces via CMYK;I load + convert("RGB")
+    (±1: the CMYK multiply rounds .5 ties in opposite directions)."""
+    for h, w in [(64, 64), (33, 41)]:
+        img = _cmyk_gradient(h, w)
+        p = str(tmp_path / "c.jpg")
+        Image.fromarray(img, "CMYK").save(p, quality=95)
+        with open(p, "rb") as f:
+            assert b"Adobe" in f.read(), "PIL wrote no Adobe APP14"
+        ours = native.decode_image_file(p)
+        pil = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        d = np.abs(ours[..., :3].astype(int) - pil.astype(int))
+        assert d.max() <= 1, f"{h}x{w}: max diff {d.max()}"
+        assert (ours[..., 3] == 255).all()
+
+
+def _craft_ycck_jpeg(vals):
+    """Hand-assemble a minimal 8x8 single-MCU 4-component baseline JPEG with
+    Adobe APP14 transform=2 (YCCK) and flat per-component sample values
+    `vals` (no encoder ships anywhere in this image: PIL cannot WRITE YCCK,
+    but it can read it, giving an independent decoder to cross-check ours).
+    Quant table is all-8s, so a DC-only block IDCTs to exactly DC + 128."""
+    out = bytearray(b"\xff\xd8")
+    # APP14 "Adobe", version, flags0, flags1, transform=2
+    app = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2])
+    out += b"\xff\xee" + (len(app) + 2).to_bytes(2, "big") + app
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x00]) + bytes([8] * 64)
+    # SOF0: 8-bit, 8x8, 4 components, h=v=1, quant table 0
+    sof = bytes([8, 0, 8, 0, 8, 4])
+    for cid in range(1, 5):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT: DC table 0 = the standard luminance DC table (symbols 0..11);
+    # AC table 0 = one 1-bit code '0' -> symbol 0x00 (EOB only)
+    dc_counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+    dht += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    # SOS: all 4 components, DC/AC table 0
+    sos = bytes([4]) + b"".join(bytes([cid, 0x00]) for cid in range(1, 5))
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    # entropy data: per component one DC-only block.
+    # canonical codes for the DC table above:
+    codes = {}
+    code = 0
+    k = 0
+    syms = list(range(12))
+    for ln in range(1, 17):
+        for _ in range(dc_counts[ln - 1]):
+            codes[syms[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    for v in vals:
+        diff = int(v) - 128  # dc_pred starts at 0; quant 8 -> sample DC+128
+        s = 0 if diff == 0 else max(diff, -diff).bit_length()
+        c, ln = codes[s]
+        put(c, ln)
+        if s:
+            put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+        put(0, 1)  # AC: EOB ('0')
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i:i + 8]:
+            b = (b << 1) | bit
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)  # byte stuffing
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpg_ycck_adobe_matches_pil(tmp_path):
+    """YCCK (Adobe APP14 transform 2): CMY channels are YCbCr-coded and must
+    be converted + re-inverted before the K multiply. Cross-checked against
+    PIL/libjpeg on a hand-crafted YCCK file (±2: float vs fixed-point YCC
+    kernel plus the CMYK-multiply tie rounding)."""
+    cases = [
+        (200, 128, 128, 230),  # neutral chroma
+        (180, 100, 150, 255),  # chroma + no black
+        (90, 160, 80, 200),
+        (128, 128, 128, 0),    # full black ink
+    ]
+    for vals in cases:
+        data = _craft_ycck_jpeg(vals)
+        p = str(tmp_path / "y.jpg")
+        with open(p, "wb") as f:
+            f.write(data)
+        pil_img = Image.open(p)
+        assert pil_img.mode == "CMYK", "craft helper did not produce Adobe 4-comp"
+        pil = np.asarray(pil_img.convert("RGB"), np.uint8)
+        ours = native.decode_image_file(p)
+        assert ours.shape == (8, 8, 4)
+        d = np.abs(ours[..., :3].astype(int) - pil.astype(int))
+        assert d.max() <= 2, f"vals {vals}: max diff {d.max()}"
+
+
 def test_jpg_restart_markers(rng, tmp_path):
     """DRI/RSTn handling: predictors reset and the bit reader realigns at
     every restart interval."""
