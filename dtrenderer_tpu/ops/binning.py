@@ -63,8 +63,11 @@ class FlatBins(NamedTuple):
 
     table: jnp.ndarray     # f32 [Lp + K, 128]: [coef 16][id][payload P][0...]
     table_cm: jnp.ndarray  # f32 [P, Lp_pad]: payload channels channel-major
-    starts: jnp.ndarray    # i32 [n_ty, n_tx] row offset of each tile's range
-    counts: jnp.ndarray    # i32 [n_ty, n_tx] SMALL rows in range (<= K)
+    # starts/counts: i32 [n_ty, n_tx] row offset / SMALL row count of each
+    # tile's range. Slab mode (n_slabs > 1): [n_ty * n_slabs, n_tx], one
+    # exact range per (tile, 8-row slab), (tile, slab) row-major.
+    starts: jnp.ndarray
+    counts: jnp.ndarray
     broad: jnp.ndarray     # f32 [B_pad, 128] shared broad rows (all tiles)
     broad_cm: jnp.ndarray  # f32 [P, B_pad128] broad payload channel-major
     n_broad: jnp.ndarray   # i32 [] broad rows valid in `broad`
@@ -332,7 +335,7 @@ def _bin_prefix_gather(coef, bbox, payload, key_sorted, starts, counts_small,
 
 def _emit_pair_keys_vals(small, n_cover, tx0, sy0, span_w, T: int,
                          n_slab_tiles: int, n_tx: int, small_span: int,
-                         mid_cap: int | None = None):
+                         mid_cap: int | None = None, tier: int = 4):
     """Slab-granularity pair emission as (key, value) ARRAYS: key = the
     slab-tile id alone (no rank packed in — values carry the triangle id
     through the sort), so the key domain is n_slab_tiles + 1, never
@@ -345,12 +348,16 @@ def _emit_pair_keys_vals(small, n_cover, tx0, sy0, span_w, T: int,
 
     Same two-tier structure as _emit_pair_keys (always on here: slab mode
     is budget-gated by construction, and slab spans inflate the slot
-    matrix). Returns (keys, vals, mid_overflow)."""
+    matrix), but tier-1 is `tier`=4 slots wide: at 8-row slab granularity a
+    tiny triangle straddling both a slab boundary and a tile-column boundary
+    covers 4 slab-tiles, so 3-4-cover triangles are COMMON — with a 2-wide
+    tier the mid matrix (capped at ~T/4) overflowed by ~440k pairs at
+    config-5 scale. Returns (keys, vals, mid_overflow)."""
     SENT = I32(n_slab_tiles)
     sw = jnp.maximum(span_w, 1)[:, None]
     iota_t = jnp.arange(T, dtype=I32)
 
-    TIER = 2
+    TIER = min(tier, small_span)
     s2 = jnp.arange(TIER, dtype=I32)[None, :]
     tile2 = (sy0[:, None] + s2 // sw) * n_tx + (tx0[:, None] + s2 % sw)
     in2 = (small & (n_cover <= TIER))[:, None] & (s2 < n_cover[:, None])
@@ -385,7 +392,7 @@ def _emit_pair_keys_vals(small, n_cover, tx0, sy0, span_w, T: int,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "small_span", "broad_cap", "pair_budget", "mid_cap",
-                     "n_slabs"),
+                     "n_slabs", "ordered"),
 )
 def bin_triangles_flat(
     coef,
@@ -401,14 +408,34 @@ def bin_triangles_flat(
     payload,
     pair_budget: int,
     mid_cap: int | None = None,
+    n_slabs: int = 1,
+    ordered: bool = False,
 ) -> FlatBins:
     """Flat binning for render_fused(flat_bins=True): sort the (tile, tri)
     pairs and gather the sorted-prefix table ONCE — NO dense [tiles, K, C]
     setup assembly (the kernel DMAs per-tile contiguous row ranges from HBM
-    and reads the shared broad block from VMEM). Same span/key/sort scheme as
-    bin_triangles (packed-key domain required); per-tile lists are id-ordered
-    (rank space never needed). All drops (capacity, budget, broad_cap,
-    mid_cap) are counted in overflow, never silent.
+    and reads the shared broad block from VMEM). All drops (capacity,
+    budget, broad_cap, mid_cap) are counted in overflow, never silent.
+
+    n_slabs == 1 (legacy): one range per tile, same span/packed-key/sort
+    scheme as bin_triangles (packed-key domain required); per-tile lists are
+    id-ordered (rank space never needed).
+
+    n_slabs > 1 (slab windows, must equal tile_h // 8): pairs are emitted at
+    8-PIXEL-ROW slab granularity — each (tile, slab) gets its OWN exact
+    contiguous range of the sorted table, so the kernel's per-slab chunk
+    loop walks only the triangles whose bbox touches that slab (a triangle
+    spanning a slab boundary appears in both ranges; the depth carry is
+    idempotent). This is the flat path's slab culling: the dense path's
+    conservative y-sorted slab_bounds machinery (1M-row rank sorts) is
+    replaced by the binning sort itself. Keys are the slab-tile id alone
+    with the triangle id CARRIED as a sort value (_emit_pair_keys_vals), so
+    the packed-int32 2^31 domain cap does NOT apply — a full 4K frame at 1M
+    triangles bins in one sort, no row banding needed. starts/counts come
+    back [n_ty * n_slabs, n_tx] ((tile, slab) row-major). `capacity` is the
+    PER-SLAB window capacity. Slab lists are NOT globally id-ordered
+    (two-tier emission order), so the kernel must tie-break by the id
+    channel (tie_by_id).
 
     Two-tier span emission (vs bin_triangles' single [T, small_span] slot
     matrix): most triangles in a dense scene cover 1-2 tiles, so a uniform
@@ -419,6 +446,16 @@ def bin_triangles_flat(
     identical to the single-tier emission, so bins do not change. mid_cap
     None = auto (T/4, 128-quantized); overflow counts dropped mid pairs
     when a scene exceeds it.
+
+    ordered (raster_ordered's sequential-blend kernel; n_slabs == 1 only):
+    broad triangles are emitted INTO the per-tile windows — one [broad_cap,
+    n_tiles] key matrix masked to each broad's tile-span rectangle — instead
+    of the shared broad block, so every tile's window holds ALL triangles
+    touching it in STRICT id order (the packed key embeds the id, so the
+    sort itself guarantees submission order; the shared-block design cannot,
+    because smalls and broads would need an in-kernel merge). The broad
+    block comes back empty (n_broad == 0). Costs O(broad_cap * n_tiles)
+    keys — fine at ordered-draw scales, unacceptable for 1M-tri scenes.
     """
     T = coef.shape[0]
     P = payload.shape[1]
@@ -427,23 +464,72 @@ def bin_triangles_flat(
     n_tx = _ceil_div(width, tile_w)
     n_tiles = n_ty * n_tx
     K = capacity
-    assert (n_tiles + 1) * (T + 1) <= 2**31 - 1, (
-        "flat binning needs the packed int32 key domain")
 
-    # --- small/broad split + packed-key sort (as bin_triangles) ---
-    tx0, ty0 = bbox[:, 0] // tile_w, bbox[:, 1] // tile_h
-    tx1, ty1 = bbox[:, 2] // tile_w, bbox[:, 3] // tile_h
-    span_w, span_h = tx1 - tx0 + 1, ty1 - ty0 + 1
-    n_cover = jnp.where(valid, span_w * span_h, 0)
-    small = valid & (n_cover > 0) & (n_cover <= small_span)
-    broad = valid & (n_cover > small_span)
+    if n_slabs > 1:
+        assert n_slabs == tile_h // 8 and tile_h % 8 == 0
+        n_sy = n_ty * n_slabs
+        n_slab_tiles = n_sy * n_tx
+        tx0, tx1 = bbox[:, 0] // tile_w, bbox[:, 2] // tile_w
+        sy0, sy1 = bbox[:, 1] // 8, bbox[:, 3] // 8
+        span_w = tx1 - tx0 + 1
+        n_cover = jnp.where(valid, span_w * (sy1 - sy0 + 1), 0)
+        small = valid & (n_cover > 0) & (n_cover <= small_span)
+        broad = valid & (n_cover > small_span)
+        key_flat, val_flat, mid_overflow = _emit_pair_keys_vals(
+            small, n_cover, tx0, sy0, span_w, T, n_slab_tiles, n_tx,
+            small_span, mid_cap)
+        key_sorted, val_sorted = jax.lax.sort(
+            (key_flat, val_flat), num_keys=1)
+        starts = jnp.searchsorted(
+            key_sorted, jnp.arange(n_slab_tiles + 1, dtype=I32))
+        n_ranges, range_rows = n_slab_tiles, n_sy
+        sent_floor = I32(n_slab_tiles)
+    else:
+        assert (n_tiles + 1) * (T + 1) <= 2**31 - 1, (
+            "flat binning needs the packed int32 key domain (use n_slabs > 1 "
+            "for the value-carrying sort with no domain cap)")
+        # --- small/broad split + packed-key sort (as bin_triangles) ---
+        tx0, ty0 = bbox[:, 0] // tile_w, bbox[:, 1] // tile_h
+        tx1, ty1 = bbox[:, 2] // tile_w, bbox[:, 3] // tile_h
+        span_w, span_h = tx1 - tx0 + 1, ty1 - ty0 + 1
+        n_cover = jnp.where(valid, span_w * span_h, 0)
+        small = valid & (n_cover > 0) & (n_cover <= small_span)
+        broad = valid & (n_cover > small_span)
 
-    key_flat, mid_overflow = _emit_pair_keys(
-        small, n_cover, tx0, ty0, span_w, jnp.arange(T, dtype=I32),
-        T, n_tiles, n_tx, small_span, mid_cap, auto_tier=True)
-    key_sorted = jax.lax.sort(key_flat)
-    bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
-    starts = jnp.searchsorted(key_sorted, bounds)
+        key_flat, mid_overflow = _emit_pair_keys(
+            small, n_cover, tx0, ty0, span_w, jnp.arange(T, dtype=I32),
+            T, n_tiles, n_tx, small_span, mid_cap, auto_tier=True)
+        if ordered:
+            # broads join the windows (see docstring): [Bc, n_tiles] keys
+            # masked to each broad's tile-span rectangle. The packed key
+            # embeds the id, so the sort places them in id order among the
+            # smalls of every tile they touch.
+            Bc = max(int(broad_cap), 1)
+            bkey = jnp.where(broad, jnp.arange(T, dtype=I32), I32(T))
+            bsel = (jnp.sort(bkey)[:Bc] if T >= Bc else jnp.pad(
+                jnp.sort(bkey), (0, Bc - T), constant_values=T))
+            bok = bsel < T
+            bsafe = jnp.where(bok, bsel, 0)
+            rect = jnp.stack([tx0, ty0, tx1, ty1], axis=1)[bsafe]  # [Bc, 4]
+            tiles = jnp.arange(n_tiles, dtype=I32)
+            tty, ttx = tiles // n_tx, tiles % n_tx
+            in_rect = (bok[:, None]
+                       & (ttx[None, :] >= rect[:, 0:1])
+                       & (ttx[None, :] <= rect[:, 2:3])
+                       & (tty[None, :] >= rect[:, 1:2])
+                       & (tty[None, :] <= rect[:, 3:4]))
+            bkeys = jnp.where(in_rect, tiles[None, :] * (T + 1) + bsel[:, None],
+                              I32(n_tiles) * (T + 1))
+            key_flat = jnp.concatenate([key_flat, bkeys.reshape(-1)])
+            # broads beyond broad_cap are dropped and counted
+            mid_overflow = mid_overflow + jnp.maximum(
+                jnp.sum(broad.astype(I32)) - Bc, 0)
+        key_sorted = jax.lax.sort(key_flat)
+        val_sorted = None
+        bounds = jnp.arange(n_tiles + 1, dtype=I32) * (T + 1)
+        starts = jnp.searchsorted(key_sorted, bounds)
+        n_ranges, range_rows = n_tiles, n_ty
+        sent_floor = I32(n_tiles) * (T + 1)
     counts_small = (starts[1:] - starts[:-1]).astype(I32)
     Lp = min(max(int(pair_budget), 128), int(key_sorted.shape[0]))
 
@@ -461,10 +547,12 @@ def bin_triangles_flat(
     # tail serializes HBM on one row (~2x whole-gather cost; see
     # _bin_prefix_gather). Garbage rows are unreachable (counts clamp first).
     key_pref = key_sorted[:Lp]
-    is_sent = key_pref >= I32(n_tiles) * (T + 1)
+    is_sent = key_pref >= sent_floor
     spread = ((jnp.arange(Lp, dtype=I32) * I32(-1640531527))
               & I32(0x7FFFFFFF)) % T  # hashed: ascending runs also serialize
-    ranks = jnp.where(is_sent, spread, key_pref % (T + 1))
+    real = (val_sorted[:Lp] if val_sorted is not None
+            else key_pref % (T + 1))  # slab mode carries the id as the value
+    ranks = jnp.where(is_sent, spread, real)
     table_g = table[jnp.minimum(ranks, T - 1)]              # [Lp, 128]
     # K zero pad rows: a DMA window [start, start+K) at start <= Lp never
     # reads out of bounds. Zero rows can never rasterize (all-zero edge
@@ -473,11 +561,17 @@ def bin_triangles_flat(
     table_g = jnp.concatenate([table_g, jnp.zeros((K, 128), jnp.float32)])
 
     # channel-major payload for the kernel's phase-2 slot gathers. Lane pad:
-    # phase 2 DMAs [P, K+128] at 128-aligned offsets <= Lp.
+    # phase 2 DMAs [P, K+128] at 128-aligned offsets <= Lp. Ordered mode
+    # ships ALL channels (coef+id+payload) channel-major instead: its kernel
+    # reads per-triangle values exclusively by gather-splat from the cm
+    # window (Mosaic cannot broadcast [1,1] -> [tile_h,128] in one op).
     Lpad = _ceil_div(Lp + K + 128, 128) * 128
-    P8 = _ceil_div(P, 8) * 8  # Mosaic: DMA slices 8-aligned on sublanes
-    table_cm = jnp.transpose(table_g[:, 17:17 + P], (1, 0))
-    table_cm = jnp.pad(table_cm, ((0, P8 - P), (0, Lpad - table_cm.shape[1])))
+    n_cm = 17 + P if ordered else P
+    cm_lo = 0 if ordered else 17
+    P8 = _ceil_div(n_cm, 8) * 8  # Mosaic: DMA slices 8-aligned on sublanes
+    table_cm = jnp.transpose(table_g[:, cm_lo:17 + P], (1, 0))
+    table_cm = jnp.pad(table_cm,
+                       ((0, P8 - n_cm), (0, Lpad - table_cm.shape[1])))
 
     # --- budget/capacity caps (counted) ---
     starts_c = jnp.minimum(starts[:-1], Lp)
@@ -488,9 +582,15 @@ def bin_triangles_flat(
     # --- shared broad block (every tile walks it) ---
     # broad_cap == 0 matches the dense path: every broad triangle is DROPPED
     # and counted (the kernel's tie_by_id=False fast path requires slot
-    # order == id order, which a kept broad would break).
-    Bc = int(broad_cap)
-    if Bc == 0:
+    # order == id order, which a kept broad would break). ordered mode
+    # already emitted the broads into the windows (and counted its drops).
+    Bc = 0 if ordered else int(broad_cap)
+    if Bc == 0 and ordered:
+        n_broad = jnp.zeros((), I32)
+        broad_dropped = jnp.zeros((), I32)
+        broad_rows = jnp.zeros((8, 128), jnp.float32)
+        broad_cm = jnp.zeros((table_cm.shape[0], 128), jnp.float32)
+    elif Bc == 0:
         n_broad = jnp.zeros((), I32)
         broad_dropped = jnp.sum(broad.astype(I32))
         broad_rows = jnp.zeros((8, 128), jnp.float32)
@@ -514,8 +614,8 @@ def bin_triangles_flat(
     return FlatBins(
         table=table_g,
         table_cm=table_cm,
-        starts=starts_c.reshape(n_ty, n_tx),
-        counts=cnt.reshape(n_ty, n_tx),
+        starts=starts_c.reshape(range_rows, n_tx),
+        counts=cnt.reshape(range_rows, n_tx),
         broad=broad_rows,
         broad_cm=broad_cm,
         n_broad=n_broad,

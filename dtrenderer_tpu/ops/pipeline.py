@@ -271,7 +271,8 @@ def draw_mesh(
                 k: v for k, v in (raster_opts or {}).items()
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
-                             "flat_bins", "row_bands", "mid_cap")
+                             "flat_bins", "row_bands", "mid_cap",
+                             "flat_slabs")
             }
 
     if mvp is None:
@@ -461,6 +462,9 @@ def draw_mesh_ordered(
     x_offset=0,
     near_clip: bool = True,
     window: tuple[int, int] | None = (64, 128),
+    engine: str = "auto",
+    raster_opts: dict | None = None,
+    return_counters: bool = False,
 ):
     """Reference-order draw: per-triangle z-test + blend + depth-WRITE in
     submission order — the reference's sequential per-pixel loop semantics
@@ -468,17 +472,33 @@ def draw_mesh_ordered(
     reproduce for TRANSLUCENT geometry (overlapping translucent triangles
     stack in submission order and write depth).
 
-    Implemented as a lax.scan over triangles. Each step evaluates only a
-    fixed-size `window` (wh, ww) of the framebuffer positioned over the
-    triangle's clamped pixel bbox (dynamic_slice in, blend, update-slice out)
-    — the reference pays bbox pixels per triangle, and so do we, modulo the
-    static window shape. Triangles whose bbox exceeds the window fall back to
-    a full-frame evaluation inside the same scan (exact, just slower);
-    window=None forces full-frame for every triangle. Per-pixel formulas and
-    values are IDENTICAL to the windowed-off path (same px/py, elementwise
-    math), so images are bit-equal regardless of window size. Opaque geometry
-    should use draw_mesh/draw_meshes (bit-identical for opaque, vastly
-    faster). Formulas identical to shade_deferred (FORMULAS.md).
+    engine:
+      "tile"  — the tile-parallel ordered Pallas kernel
+                (ops/raster_ordered.py): per-tile binned windows in strict
+                id (== submission) order, blended sequentially in VMEM.
+                Pixel ownership is disjoint, so per-tile order IS global
+                order; tiles run in parallel over the grid (5k-tri
+                translucent mesh @1080p: 2.3 ms vs the scan's 64 ms,
+                tools/bench_ordered.py on chip).
+                raster_opts: tile_h (16), capacity (256/tile window),
+                small_span (16), broad_cap (128), chunk, pair_budget. Any
+                dropped pair (capacity/budget/broad_cap) changes the blend
+                for later triangles — drops are COUNTED (return_counters)
+                and must be audited to zero like any binned mode.
+      "scan"  — a lax.scan over triangles; each step evaluates a `window`
+                (wh, ww) positioned over the triangle's bbox (full-frame
+                fallback for oversized triangles; window=None forces
+                full-frame). Bit-equal at ANY window size. O(T) sequential
+                steps — the exactness oracle and the fallback, not the
+                production path.
+      "auto"  — "tile" unless the texture exceeds the VMEM LUT budget
+                (TEX_BUDGET_TEXELS), else "scan".
+    Both engines implement the same FORMULAS.md math as shade_deferred;
+    cross-engine images agree at the repo's packed-u8 parity bar (raw f32
+    differs by XLA FMA contraction between program shapes, CLAUDE.md).
+
+    return_counters: also return FrameCounters (bin_overflow = dropped
+    pairs; always 0 for "scan").
     """
     import jax
 
@@ -489,6 +509,7 @@ def draw_mesh_ordered(
     fw = frame_width if frame_width is not None else w
     if light is None:
         light = make_light()
+    textured = texture is not None
     if texture is None:
         texture = jnp.ones((1, 1, 4), F32)
     if normal_mat is None:
@@ -496,10 +517,58 @@ def draw_mesh_ordered(
     if mvp is None:
         mvp = mat4mul(view_proj, model)
 
+    if engine == "auto":
+        from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+
+        big_tex = (int(texture.shape[0]) * int(texture.shape[1])
+                   > TEX_BUDGET_TEXELS)
+        engine = "scan" if big_tex else "tile"
+    assert engine in ("tile", "scan"), f"unknown ordered engine {engine!r}"
+
     setup, attrs10 = prepare_draw(
         mesh, model, view_proj, mvp, normal_mat, light, color, shading,
         fw, fh, cull_backfaces, near_clip,
     )
+
+    if engine == "tile":
+        from dtrenderer_tpu.ops.raster_ordered import render_ordered
+        from dtrenderer_tpu.ops.render_fused import (
+            dummy_texture_lut, make_texture_lut, pack_payload, plan_layout,
+        )
+
+        if textured:
+            tex_lut, meta = make_texture_lut([texture])
+        else:
+            tex_lut, meta = dummy_texture_lut(), [(0, 1, 1)]
+        is_phong = shading == SHADING_PHONG
+        layout = plan_layout([dict(
+            textured=textured, phong=is_phong,
+            corner_rgba_is_q=(_host_white(color)
+                              and shading in (SHADING_PHONG, SHADING_NONE)),
+            meta=meta[0],
+        )], mixed_sampling=False)
+        payload = pack_payload(attrs10, layout, meta[0], 0.0)
+        opts = dict(raster_opts or {})
+        opts.pop("row_bands", None)
+        color_o, depth_o, overflow = render_ordered(
+            setup.coef, setup.bbox, setup.valid, payload, tex_lut,
+            light.direction, light.ambient, fb.color, fb.depth,
+            h, w, y_offset=y_offset, x_offset=x_offset,
+            bilinear=(sampling_mode == "bilinear") and layout.has_uv,
+            with_phong=is_phong, layout=layout, **opts,
+        )
+        out = Framebuffer(color=color_o, depth=depth_o)
+        if not return_counters:
+            return out
+        from dtrenderer_tpu.debug import FrameCounters
+
+        return out, FrameCounters(
+            tris_submitted=jnp.int32(setup.coef.shape[0]),
+            tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
+            pixels_shaded=jnp.sum(
+                (depth_o < fb.depth).astype(jnp.int32)),
+            bin_overflow=overflow,
+        )
     Tp = attrs10.shape[0]
     attrs16 = jnp.concatenate(
         [attrs10, jnp.zeros((Tp, 3, ATTR_CHANNELS - 10), F32)], axis=-1
@@ -595,7 +664,17 @@ def draw_mesh_ordered(
         step, (fb.color, fb.depth),
         (setup.coef, setup.valid, attrs16, setup.bbox),
     )
-    return Framebuffer(color=new_color, depth=new_depth)
+    out = Framebuffer(color=new_color, depth=new_depth)
+    if not return_counters:
+        return out
+    from dtrenderer_tpu.debug import FrameCounters
+
+    return out, FrameCounters(
+        tris_submitted=jnp.int32(setup.coef.shape[0]),
+        tris_valid=jnp.sum(setup.valid.astype(jnp.int32)),
+        pixels_shaded=jnp.sum((new_depth < fb.depth).astype(jnp.int32)),
+        bin_overflow=jnp.zeros((), jnp.int32),  # scan never bins
+    )
 
 
 def _host_white(color) -> bool:
@@ -648,7 +727,12 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("use_ybounds", None)  # capacity counts don't depend on bin order
     opts.pop("batch_rows", None)
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
-    opts.pop("flat_bins", None)  # same counts/caps; audit via dense bins
+    flat = bool(opts.pop("flat_bins", None))
+    # flat_slabs bins at 8-row-slab granularity with PER-SLAB capacity: the
+    # audit must count the real (tile, slab) windows, so it routes through
+    # bin_triangles_flat below. Plain flat_bins has the same counts/caps as
+    # dense; the dense audit covers it.
+    flat_slabs = bool(opts.pop("flat_slabs", None))
     opts.pop("row_bands", None)  # audits the full frame's per-tile counts
     # render_fused's defaults, from the single shared source (binning's own
     # defaults differ — never mirror by hand).
@@ -672,9 +756,33 @@ def audit_scene(view_proj, draws, height, width, light=None,
     coef = jnp.concatenate(coefs)
     bbox = jnp.concatenate(bboxes)
     valid = jnp.concatenate(valids)
-    bins = bin_triangles(coef, bbox, valid, height, width, **opts)
     import numpy as np
 
+    if flat and flat_slabs:
+        # audit the REAL slab windows (per-slab counts vs per-slab capacity)
+        from dtrenderer_tpu.ops.binning import bin_triangles_flat
+
+        T = coef.shape[0]
+        pb = int(opts.pop("pair_budget", None) or 3 * T)
+        # clip the local bbox exactly as render_fused does (full frame here)
+        local = jnp.stack([
+            jnp.clip(bbox[:, 0], 0, width - 1),
+            jnp.clip(bbox[:, 1], 0, height - 1),
+            jnp.clip(bbox[:, 2], 0, width - 1),
+            jnp.clip(bbox[:, 3], 0, height - 1)], axis=-1)
+        fbins = bin_triangles_flat(
+            coef, local, valid, height, width,
+            payload=jnp.zeros((T, 1), jnp.float32),
+            pair_budget=min(pb, 3 * T),
+            n_slabs=opts["tile_h"] // 8,
+            mid_cap=opts.get("mid_cap"),
+            **{k: opts[k] for k in ("tile_h", "tile_w", "capacity",
+                                    "small_span", "broad_cap")},
+        )
+        return (int(np.asarray(fbins.overflow)),
+                int(np.asarray(fbins.counts).max()), capacity)
+
+    bins = bin_triangles(coef, bbox, valid, height, width, **opts)
     return (int(np.asarray(bins.overflow)),
             int(np.asarray(bins.counts).max()), capacity)
 
@@ -884,14 +992,20 @@ def draw_meshes(
                     out = res
             else:
                 d = seg
-                out = draw_mesh_ordered(
+                res = draw_mesh_ordered(
                     out, d.mesh, d.model, view_proj, texture=d.texture,
                     light=light, color=d.color, shading=d.shading,
                     sampling_mode=d.sampling or sampling_mode,
                     cull_backfaces=cull_backfaces,
                     normal_mat=d.normal_mat, frame_height=fh, frame_width=fw,
                     y_offset=y_offset, x_offset=x_offset, near_clip=near_clip,
+                    return_counters=return_counters,
                 )
+                if return_counters:
+                    out, c = res
+                    counters = counters.merge(c)
+                else:
+                    out = res
         return (out, counters) if return_counters else out
 
     if sampling_mode not in ("nearest", "bilinear"):

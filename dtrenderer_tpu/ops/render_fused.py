@@ -226,7 +226,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  skip_shading: bool = False, cols: int = 1,
                  layout: PayloadLayout = FULL_LAYOUT,
                  use_ybounds: bool = True, batch_rows: int = 8,
-                 tie_by_id: bool = True, flat: bool = False):
+                 tie_by_id: bool = True, flat: bool = False,
+                 flat_slabs: bool = False):
     n_pix = tile_h * tile_w
     batch_px = batch_rows * 128
     assert n_pix % batch_px == 0, "tile must hold whole shading batches"
@@ -234,7 +235,16 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     n_slabs = tile_h // 8
     slab_pix = 8 * tile_w
     assert tile_h % 8 == 0, "tile_h must be a multiple of 8 (VPU sublanes)"
-    assert not (flat and use_ybounds), "flat mode has no slab ranges (yet)"
+    assert not (flat and use_ybounds), (
+        "flat mode culls slabs via per-slab windows (flat_slabs), not "
+        "slab_bounds ranges")
+    # flat DMA windows per tile: one per 8-row slab in slab mode (each slab
+    # walks ONLY its own exact range — the flat path's slab culling), else
+    # one whole-tile window.
+    n_win = n_slabs if (flat and flat_slabs) else 1
+    assert not flat_slabs or (flat and tie_by_id), (
+        "slab windows are flat-mode only and are not id-ordered "
+        "(two-tier emission) -> the id-channel depth tie is required")
     # The flat phase-1 loops read [chunk]-row slices from a scratch window of
     # exactly `capacity` rows (and from the chunk-padded broad block): a
     # non-dividing chunk's last slice would read past the window into the
@@ -289,14 +299,15 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 s_jb = jax.lax.rem(s_idx, n_jb)
                 for g in range(cols):
                     tj_ = s_jb * cols + g
-                    start = starts_ref[s_i, tj_]
-                    start_al = (start // 128) * 128
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(start, capacity), :],
-                        scr_rm.at[sl, g], sems.at[sl, g, 0]).start()
-                    pltpu.make_async_copy(
-                        cm_ref.at[:, pl.ds(start_al, capacity + 128)],
-                        scr_cm.at[sl, g], sems.at[sl, g, 1]).start()
+                    for s in range(n_win):
+                        start = starts_ref[s_i * n_win + s, tj_]
+                        start_al = (start // 128) * 128
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(start, capacity), :],
+                            scr_rm.at[sl, g, s], sems.at[sl, g, s, 0]).start()
+                        pltpu.make_async_copy(
+                            cm_ref.at[:, pl.ds(start_al, capacity + 128)],
+                            scr_cm.at[sl, g, s], sems.at[sl, g, s, 1]).start()
 
             @pl.when(step == 0)
             def _cold():
@@ -312,20 +323,24 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
         for g in range(cols):
             tj = tjb * cols + g
             if flat:
-                n_small = counts_ref[ti, tj]
                 nb = nb_ref[0, 0]
-                n = n_small + nb
-                start_cur = starts_ref[ti, tj]
-                start_al_cur = (start_cur // 128) * 128
-                delta = start_cur - start_al_cur
+                n_small = [counts_ref[ti * n_win + s, tj]
+                           for s in range(n_win)]
+                delta = []
+                n = nb
                 # Wait unconditionally (semaphore balance), even for empty
                 # tiles; the cm copy is tiny and lands well before the rows.
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(start_cur, capacity), :],
-                    scr_rm.at[slot, g], sems.at[slot, g, 0]).wait()
-                pltpu.make_async_copy(
-                    cm_ref.at[:, pl.ds(start_al_cur, capacity + 128)],
-                    scr_cm.at[slot, g], sems.at[slot, g, 1]).wait()
+                for s in range(n_win):
+                    start_cur = starts_ref[ti * n_win + s, tj]
+                    start_al_cur = (start_cur // 128) * 128
+                    delta.append(start_cur - start_al_cur)
+                    n = n + n_small[s]
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(start_cur, capacity), :],
+                        scr_rm.at[slot, g, s], sems.at[slot, g, s, 0]).wait()
+                    pltpu.make_async_copy(
+                        cm_ref.at[:, pl.ds(start_al_cur, capacity + 128)],
+                        scr_cm.at[slot, g, s], sems.at[slot, g, s, 1]).wait()
             else:
                 n_small = nb = delta = None
                 n = counts_ref[ti, tj]
@@ -385,14 +400,19 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
             # Each phase-1 loop is (row reader, slot base, valid limit,
             # (chunk range)). Dense bins: one list (smalls + broads packed by
             # binning), slab-culled via SMEM ranges when use_ybounds. Flat
-            # bins: the tile's DMA'd row range (smalls) plus the shared
-            # VMEM broad block, broad slots biased by `capacity`.
+            # bins: the tile's DMA'd row window(s) (smalls; slab mode gives
+            # THIS slab its own exact window — the flat path's slab culling)
+            # plus the shared VMEM broad block, broad slots biased past all
+            # windows.
             if flat_ctx is not None:
+                win = s_i if n_win > 1 else 0
+                n_w = n_small_f[win]
                 loops = [
-                    (lambda k0: scr_rm[gcol, pl.ds(k0, chunk), :], 0,
-                     n_small_f, (0, pl.cdiv(n_small_f, chunk))),
-                    (lambda k0: broad_rm_ref[pl.ds(k0, chunk), :], capacity,
-                     nb_f, (0, pl.cdiv(nb_f, chunk))),
+                    (lambda k0, win=win: scr_rm[gcol, win,
+                                                pl.ds(k0, chunk), :],
+                     win * capacity, n_w, (0, pl.cdiv(n_w, chunk))),
+                    (lambda k0: broad_rm_ref[pl.ds(k0, chunk), :],
+                     n_win * capacity, nb_f, (0, pl.cdiv(nb_f, chunk))),
                 ]
             elif use_ybounds and n_slabs > 1:
                 # Two ranges: this slab's tight small-triangle range (entry
@@ -591,24 +611,28 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                                                     pl.ds(start, 128)]
             sources = [(sl_c, reader)]
         else:
-            # Flat bins: small winners gather from the DMA'd channel-major
-            # window (lane = delta + slot; the window starts at the 128-
-            # aligned row offset, so chunk lane offsets stay aligned); broad
-            # winners (slot >= capacity) from the shared broad block. Lanes
-            # belonging to the OTHER source get a negative index and match no
-            # chunk. A batch rarely has broad winners, so the second loop is
-            # usually empty (its fori range collapses).
+            # Flat bins: small winners gather from their slab window's DMA'd
+            # channel-major block (lane = delta + local slot; the window
+            # starts at the 128-aligned row offset, so chunk lane offsets
+            # stay aligned); broad winners (slot >= n_win * capacity) from
+            # the shared broad block. Lanes belonging to OTHER sources get a
+            # negative index and match no chunk; a source with no winners in
+            # the batch collapses its fori range to zero iterations.
             _, _, delta_f, _, scr_cm, _, broad_cm_ref = flat_ctx
-            is_b = sl >= capacity
             neg = I32(-(1 << 20))
-            idx_s = jnp.where(is_b, neg, sl + delta_f)
-            idx_b = jnp.where(is_b, sl - capacity, neg)
-            sources = [
-                (idx_s, lambda p, start: scr_cm[gcol, p:p + 1,
-                                                pl.ds(start, 128)]),
+            sources = []
+            for s in range(n_win):
+                lo = s * capacity
+                in_w = (sl >= lo) & (sl < lo + capacity)
+                idx_s = jnp.where(in_w, sl - lo + delta_f[s], neg)
+                sources.append(
+                    (idx_s, lambda p, start, s=s: scr_cm[gcol, s, p:p + 1,
+                                                         pl.ds(start, 128)]))
+            idx_b = jnp.where(sl >= n_win * capacity,
+                              sl - n_win * capacity, neg)
+            sources.append(
                 (idx_b, lambda p, start: broad_cm_ref[p:p + 1,
-                                                      pl.ds(start, 128)]),
-            ]
+                                                      pl.ds(start, 128)]))
 
         for idx, reader in sources:
             valid_i = idx >= 0
@@ -901,21 +925,28 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
                      "skip_shading", "cols", "layout", "batch_rows",
-                     "tie_by_id"),
+                     "tie_by_id", "flat_slabs"),
 )
 def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
                            height, width, tile_h, tile_w, capacity,
                            sampling, with_phong, interpret, chunk=CHUNK,
                            skip_shading=False, cols=1,
                            layout: PayloadLayout = FULL_LAYOUT,
-                           batch_rows: int = 8, tie_by_id: bool = True):
+                           batch_rows: int = 8, tie_by_id: bool = True,
+                           flat_slabs: bool = False):
     """Flat-bins variant of _render_from_bins: no dense [tiles, K, C] setup —
     the kernel DMAs each tile's contiguous row range from the sorted-prefix
     table in HBM (binning.FlatBins) and walks the shared broad block from
     VMEM. ~27 ms less binning assembly at 1M tris/4K, and the dense setup
-    HBM round-trip disappears."""
+    HBM round-trip disappears. flat_slabs: bins carry one EXACT window per
+    8-row slab ((tile, slab)-row-major starts/counts; `capacity` is
+    per-slab) and each slab's chunk loop walks only its own window."""
     counts, starts = fbins.counts, fbins.starts
-    n_ty, n_tx = counts.shape
+    n_win = tile_h // 8 if flat_slabs else 1
+    n_sy, n_tx = counts.shape
+    n_ty = n_sy // n_win
+    assert n_ty * n_win == n_sy, (
+        f"starts/counts rows {n_sy} != n_ty * n_win ({n_win})")
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
     n_payload = layout.n_payload
@@ -935,7 +966,8 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
                           use_ybounds=False, batch_rows=batch_rows,
-                          tie_by_id=tie_by_id, flat=True)
+                          tie_by_id=tie_by_id, flat=True,
+                          flat_slabs=flat_slabs)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
         pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
@@ -972,9 +1004,9 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
             jax.ShapeDtypeStruct((n_ty, n_txp, 4, n_pix), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cols, capacity, 128), F32),
-            pltpu.VMEM((2, cols, n_payload8, capacity + 128), F32),
-            pltpu.SemaphoreType.DMA((2, cols, 2)),
+            pltpu.VMEM((2, cols, n_win, capacity, 128), F32),
+            pltpu.VMEM((2, cols, n_win, n_payload8, capacity + 128), F32),
+            pltpu.SemaphoreType.DMA((2, cols, n_win, 2)),
         ],
         interpret=interpret,
     )(*inputs)
@@ -1103,6 +1135,7 @@ def render_fused(
     pair_budget: int | None = None,
     flat_bins: bool = False,
     mid_cap: int | None = None,
+    flat_slabs: bool = False,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -1113,7 +1146,18 @@ def render_fused(
     broad block from VMEM (slots >= capacity). Image-identical to the dense
     path when bins do not overflow (under overflow the two paths legitimately
     drop different pairs). Requires pair_budget; incompatible with
-    use_ybounds (no slab ranges in the flat table yet).
+    use_ybounds (slab culling in flat mode is flat_slabs, below).
+
+    flat_slabs (requires flat_bins, tile_h > 8): bin pairs at 8-pixel-row
+    SLAB granularity — each (tile, slab) gets its own exact contiguous table
+    window and the kernel's per-slab loop walks only the triangles whose
+    bbox touches that slab (the flat path's slab culling; a slab-boundary
+    straddler is in both windows, harmless — the depth carry is idempotent).
+    `capacity` becomes the PER-SLAB window capacity (audit it: per-slab
+    counts are ~1/n_slabs of per-tile counts plus straddlers). Binning keys
+    carry the triangle id as a sort VALUE (binning._emit_pair_keys_vals), so
+    the packed-int32 2^31 key-domain cap does not apply — full-frame 4K at
+    1M tris bins in one sort with no row banding.
 
     payload: f32 [T, layout.n_payload] per-triangle channels packed by
     pack_payload for `layout` (see module docstring). tex_lut:
@@ -1143,12 +1187,15 @@ def render_fused(
         use_ybounds = tile_h > 8
     use_ybounds = use_ybounds and tile_h > 8
     if flat_bins:
-        use_ybounds = False  # no slab ranges in the flat table (yet)
+        use_ybounds = False  # flat-mode slab culling is flat_slabs
+    assert not flat_slabs or flat_bins, "flat_slabs requires flat_bins"
+    flat_slabs = flat_slabs and tile_h > 8
     # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
     # [smalls by id][broads by id], so the cheap slot tie-break only equals
     # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
-    # carries the id channel. Y-sorted bins always need the id channel.
-    tie_by_id = use_ybounds or broad_cap > 0
+    # carries the id channel. Y-sorted bins always need the id channel, and
+    # so do slab windows (two-tier emission order is not id order).
+    tie_by_id = use_ybounds or broad_cap > 0 or flat_slabs
     if batch_rows is None:
         # Wider shading batches amortize per-batch fixed costs (segment loads,
         # tap-range reductions); 32 rows is the measured plateau. min(32,
@@ -1205,6 +1252,7 @@ def render_fused(
             tile_h=tile_h, tile_w=tile_w, capacity=capacity,
             small_span=small_span, broad_cap=broad_cap,
             payload=payload, pair_budget=int(pair_budget), mid_cap=mid_cap,
+            n_slabs=(tile_h // 8 if flat_slabs else 1),
         )
         offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
         scalars = jnp.asarray(
@@ -1215,7 +1263,7 @@ def render_fused(
             fbins, offsets, scalars, tex_lut,
             height, width, tile_h, tile_w, capacity, sampling, with_phong,
             interpret, chunk, skip_shading, cols, layout,
-            batch_rows, tie_by_id,
+            batch_rows, tie_by_id, flat_slabs,
         )
         return z, src, fbins.overflow + compact_dropped
 

@@ -490,6 +490,16 @@ def test_fused_pair_budget_image_identical():
     dict(tile_h=16, capacity=128, small_span=4, broad_cap=64,
          pair_budget=4096, flat_bins=True, cols=2, batch_rows=16,
          mid_cap=512),
+    # slab windows: per-8-row-slab exact ranges (the flat path's slab
+    # culling), per-slab capacity, value-carrying sort (no packed-key cap).
+    # small_span is at SLAB granularity (spans grow ~n_slabs-fold vs tile
+    # granularity) — keep it high enough that the mid mesh stays small on
+    # both paths, or the paths legitimately drop different triangles.
+    dict(tile_h=32, capacity=256, small_span=16, broad_cap=128,
+         pair_budget=16384, flat_bins=True, flat_slabs=True, mid_cap=512),
+    dict(tile_h=16, capacity=128, small_span=16, broad_cap=128,
+         pair_budget=16384, flat_bins=True, flat_slabs=True, cols=2,
+         chunk=16, batch_rows=8, mid_cap=512),
 ])
 def test_fused_flat_bins_image_identical(opts):
     """flat_bins (per-tile HBM DMA of the sorted-prefix table + shared broad
@@ -529,7 +539,7 @@ def test_fused_flat_bins_image_identical(opts):
         return fb
 
     base = {k: v for k, v in opts.items()
-            if k not in ("pair_budget", "flat_bins")}
+            if k not in ("pair_budget", "flat_bins", "flat_slabs")}
     a, b = run(base), run(opts)
     assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
@@ -579,6 +589,60 @@ def test_flat_binning_matches_dense_sets():
             cm = np.asarray(flat.table_cm)
             np.testing.assert_array_equal(
                 cm[:7, starts[ty, tx]:starts[ty, tx] + n].T, pf)
+
+
+def test_flat_slab_windows_match_dense_sets():
+    """Slab-window flat binning: each (tile, 8-row slab) window must hold
+    EXACTLY the tile's small triangles whose bbox touches that slab (no
+    misses — a miss would cull a visible triangle; supersets are allowed
+    only via slab-boundary straddlers, which touch by definition), and the
+    union over a tile's slabs must equal the dense tile set."""
+    from dtrenderer_tpu.ops.binning import bin_triangles, bin_triangles_flat
+    from dtrenderer_tpu.ops.pipeline import prepare_draw
+    from dtrenderer_tpu.ops.shading import make_light
+
+    soup = primitives.random_triangle_soup(800, rng_seed=29, extent=1.2)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.4)))
+    setup, attrs = prepare_draw(soup, mdl, PROJ, m3.mat4mul(PROJ, mdl), mdl,
+                                make_light(), (1, 1, 1, 1), "gouraud",
+                                W, H, True, False)
+    payload = attrs.reshape(attrs.shape[0], -1)[:, :7]
+    tile_h, n_slabs = 32, 4
+    kw = dict(tile_h=tile_h, tile_w=128, small_span=8, broad_cap=0,
+              payload=payload)
+    # dense capacity is per TILE; flat slab capacity is per SLAB — give both
+    # enough headroom that nothing is capacity-dropped (asserted below)
+    dense = bin_triangles(setup.coef, setup.bbox, setup.valid, H, W,
+                          capacity=512, **kw)
+    flat = bin_triangles_flat(setup.coef, setup.bbox, setup.valid, H, W,
+                              capacity=256, pair_budget=8192,
+                              n_slabs=n_slabs, **kw)
+    assert int(np.asarray(dense.overflow)) == 0
+    assert int(np.asarray(flat.overflow)) == 0
+    bbox = np.asarray(setup.bbox)
+    table = np.asarray(flat.table)
+    starts = np.asarray(flat.starts)
+    counts = np.asarray(flat.counts)
+    ids_dense = np.asarray(dense.setup)[..., 16].view(np.int32)
+    cd = np.asarray(dense.counts)
+    n_ty, n_tx = cd.shape
+    assert counts.shape == (n_ty * n_slabs, n_tx)
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            union = set()
+            for s in range(n_slabs):
+                r = ty * n_slabs + s
+                n = counts[r, tx]
+                ids = table[starts[r, tx]:starts[r, tx] + n, 16].view(np.int32)
+                # every row's bbox must overlap this slab's pixel rows
+                lo, hi = ty * tile_h + s * 8, ty * tile_h + s * 8 + 7
+                for i in ids:
+                    assert bbox[i, 1] <= hi and bbox[i, 3] >= lo, (
+                        f"tri {i} in window ({ty},{s},{tx}) misses rows "
+                        f"[{lo},{hi}]: bbox y {bbox[i, 1]}..{bbox[i, 3]}")
+                union |= set(int(i) for i in ids)
+            assert union == set(
+                int(i) for i in ids_dense[ty, tx, :cd[ty, tx]]), (ty, tx)
 
 
 def test_flat_binning_budget_overflow_counted():

@@ -200,6 +200,37 @@ def test_draw_meshes_interleaved_opaque_translucent_opaque():
     assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
 
 
+def test_ordered_tile_engine_counts_drops():
+    """The tile engine's binning drops (capacity/budget) CHANGE the blend for
+    every later triangle — they must surface as counters, and a sane capacity
+    must report zero."""
+    soup = primitives.random_triangle_soup(2_000, rng_seed=9, extent=0.5)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.2)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+
+    def run(opts):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_mesh_ordered(fb, soup, mdl, proj,
+                                 color=(0.8, 0.4, 0.3, 0.5), shading="none",
+                                 near_clip=False, engine="tile",
+                                 raster_opts=opts, return_counters=True)
+
+    _, tight = run(dict(tile_h=16, capacity=128, small_span=8))
+    assert int(tight.bin_overflow) > 0, "over-capacity ordered draw must count"
+    out, sane = run(dict(tile_h=16, capacity=2048, small_span=8))
+    assert int(sane.bin_overflow) == 0
+
+    # zero-overflow tile engine == scan engine (packed u8; coverage exact)
+    fb_s = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+    fb_s = draw_mesh_ordered(fb_s, soup, mdl, proj,
+                             color=(0.8, 0.4, 0.3, 0.5), shading="none",
+                             near_clip=False, engine="scan")
+    assert np.array_equal(np.asarray(pack_srgb_u8(out.color)),
+                          np.asarray(pack_srgb_u8(fb_s.color)))
+    assert np.array_equal(np.isfinite(np.asarray(out.depth)),
+                          np.isfinite(np.asarray(fb_s.depth)))
+
+
 @pytest.mark.parametrize("window", [(8, 32), (16, 128), (64, 128), None])
 def test_ordered_window_sizes_bit_equal(window):
     """draw_mesh_ordered must be bit-equal at ANY window size (the bbox
@@ -215,7 +246,7 @@ def test_ordered_window_sizes_bit_equal(window):
         fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
         return draw_mesh_ordered(fb, soup, mdl, proj, light=light,
                                  color=(0.8, 0.4, 0.3, 0.5), shading="none",
-                                 window=win)
+                                 window=win, engine="scan")
 
     ref = run((H, W))  # window == frame: the pre-window code path
     got = run(window)

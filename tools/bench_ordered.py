@@ -1,0 +1,77 @@
+"""Ordered-translucency engine timing: tile kernel vs lax.scan at the README
+reference scene (5k-tri translucent mesh @1080p; scan measured 59 ms in
+round 3). Run on the TPU.
+
+Usage: python tools/bench_ordered.py [--scan]   (--scan also times the slow
+scan engine for the comparison line; skip it for quick reruns)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtrenderer_tpu.utils.benchlib import device_time
+
+
+def main():
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+
+    h, w = 1080, 1920
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    mesh = primitives.uv_sphere(50, 52)  # ~5k tris
+    print(f"mesh: {mesh.num_tris} tris", flush=True)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.4), 1.4))
+    fb0 = fblib.create(h, w)
+    col = (0.8, 0.5, 0.9, 0.5)
+
+    def frame(engine, opts=None):
+        def f(color, depth, t):
+            fb = fblib.Framebuffer(color, depth)
+            fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1],
+                                             jnp.float32))
+            rot_t = m3.rotate_y(t - jnp.float32(0.5))
+            out = draw_mesh_ordered(
+                fb, mesh, m3.mat4mul(mdl, rot_t), proj, light=light,
+                color=col, shading="gouraud", engine=engine,
+                raster_opts=opts)
+            return out.color, out.depth
+        return f
+
+    # overflow audit for the tile engine settings
+    from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered as dmo
+
+    for name, opts in [
+        ("tile t16 c256", dict(tile_h=16, capacity=256)),
+        ("tile t16 c256 chunk16", dict(tile_h=16, capacity=256, chunk=16)),
+        ("tile t32 c384 chunk16", dict(tile_h=32, capacity=384, chunk=16)),
+    ]:
+        _, c = dmo(fb0, mesh, mdl, proj, light=light, color=col,
+                   shading="gouraud", engine="tile", raster_opts=opts,
+                   return_counters=True)
+        ov = int(np.asarray(c.bin_overflow))
+        print(f"{name:24s} overflow={ov}", flush=True)
+        if ov:
+            print(f"{name:24s} SKIPPED", flush=True)
+            continue
+        dt = device_time(frame("tile", opts), fb0.color, fb0.depth,
+                         jnp.float32(0.5), iters=8, repeats=3)
+        print(f"{name:24s} {dt*1000:8.2f} ms", flush=True)
+
+    if "--scan" in sys.argv:
+        dt = device_time(frame("scan"), fb0.color, fb0.depth,
+                         jnp.float32(0.5), iters=2, repeats=2)
+        print(f"{'scan (reference)':24s} {dt*1000:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

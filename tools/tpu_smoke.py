@@ -195,12 +195,79 @@ def main():
         assert np.array_equal(np.asarray(a.color), np.asarray(b.color)), (
             "flat-bins color diverges from dense on hardware")
 
+    # 7. slab-window flat bins (per-8-row-slab DMA windows, the flat path's
+    # slab culling): ON-HARDWARE parity vs dense — exercises the 5-D window
+    # scratch, per-slab DMA issue/wait, and multi-source phase-2 gathers.
+    def flat_slab_parity():
+        ph, pw = 128, 256
+        pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
+        soup = primitives.random_triangle_soup(3_000, rng_seed=5, extent=1.0)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
+        pfb = fblib.create(ph, pw)
+        clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
+
+        def run(opts):
+            @jax.jit
+            def f(color, depth):
+                fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+                return draw_mesh(fb, soup, mdl, pproj, texture=tex,
+                                 light=light, shading="gouraud",
+                                 sampling_mode="bilinear", backend="fused",
+                                 near_clip=False, raster_opts=opts)
+            return jax.block_until_ready(f(pfb.color, pfb.depth))
+
+        a = run(dict(tile_h=32, capacity=1024, small_span=16, cols=2,
+                     batch_rows=32))
+        b = run(dict(tile_h=32, capacity=512, small_span=16, cols=2,
+                     batch_rows=32, flat_bins=True, flat_slabs=True,
+                     pair_budget=12_000, chunk=16))
+        assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth)), (
+            "flat slab-window depth diverges from dense on hardware")
+        assert np.array_equal(np.asarray(a.color), np.asarray(b.color)), (
+            "flat slab-window color diverges from dense on hardware")
+
+    # 8. ordered (translucency) tile kernel: ON-HARDWARE parity vs the scan
+    # engine — sequential per-tile blend, single-row static slices, ordered
+    # binning windows.
+    def ordered_parity():
+        from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
+        from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+        ph, pw = 128, 256
+        pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
+        soup = primitives.random_triangle_soup(1_500, rng_seed=5, extent=1.0)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
+        pfb = fblib.create(ph, pw)
+        clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
+
+        def run(engine):
+            @jax.jit
+            def f(color, depth):
+                fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+                return draw_mesh_ordered(
+                    fb, soup, mdl, pproj, texture=tex, light=light,
+                    color=(0.8, 0.5, 0.4, 0.55), shading="gouraud",
+                    sampling_mode="bilinear", near_clip=False, engine=engine,
+                    raster_opts=(dict(capacity=1024) if engine == "tile"
+                                 else None))
+            return jax.block_until_ready(f(pfb.color, pfb.depth))
+
+        a, b = run("scan"), run("tile")
+        ua = np.asarray(pack_srgb_u8(a.color)).astype(np.int32)
+        ub = np.asarray(pack_srgb_u8(b.color)).astype(np.int32)
+        bad = (np.abs(ua - ub) > 0).sum()
+        assert bad == 0, f"{bad} u8 channels diverge between ordered engines"
+        assert np.array_equal(np.isfinite(np.asarray(a.depth)),
+                              np.isfinite(np.asarray(b.depth)))
+
     check("fused/bench-config", fused_bench)
     check("fused/soup-config", fused_soup)
     check("fused/mixed-sampling", fused_mixed)
     check("pallas-visibility", pallas_vis)
     check("fused-vs-ref-parity(hw)", parity)
     check("fused/flat-bins-parity(hw)", flat_parity)
+    check("fused/flat-slab-parity(hw)", flat_slab_parity)
+    check("ordered-tile-vs-scan(hw)", ordered_parity)
 
     from dtrenderer_tpu.utils import hwgate
 
