@@ -134,6 +134,28 @@ def main():
         extra["4k_frame_ms"] = round(dt4k * 1000, 1)
         extra["4k_mtris_s"] = round(tris4k / dt4k / 1e6, 2)
 
+        # ---- config-5 MULTI-CHIP scaling evidence (the BASELINE "sharded
+        # across v5e-8" claim): render the SAME scene as 8 sequential bands
+        # (row_bands=8 — exactly the per-device work of an 8-row shard_map,
+        # incl. each band's own compaction + binning) and project the 8-chip
+        # frame time from the measured sum instead of assuming linearity.
+        try:
+            dt8 = run_4k_band8_bench()
+        except Exception as e:  # record the failure, keep the artifact
+            extra["4k_band8_error"] = str(e)[:200]
+            print(f"bench(4k band8): FAILED {e}", file=sys.stderr)
+        else:
+            extra["4k_band8_sum_ms"] = round(dt8 * 1000, 1)
+            extra["4k_8chip_projected_ms"] = round(dt8 / 8 * 1000, 1)
+            extra["4k_8chip_projected_mtris_s"] = round(
+                tris4k / (dt8 / 8) / 1e6, 2)
+            extra["4k_8chip_projected_speedup"] = round(dt4k / (dt8 / 8), 2)
+            print(f"bench(4k band8): sum-of-8-bands {dt8*1000:.1f} ms -> "
+                  f"projected 8-chip {dt8/8*1000:.1f} ms/frame, "
+                  f"{extra['4k_8chip_projected_mtris_s']} Mtris/s "
+                  f"(x{extra['4k_8chip_projected_speedup']} vs single-chip)",
+                  file=sys.stderr)
+
         # ---- multi-chip scaling EVIDENCE from one chip (tools/band_sweep):
         # render the fill scene as 8 sequential bands (the per-device work of
         # an 8-row shard_map, auto shard_budget active) and project the
@@ -216,6 +238,36 @@ def run_4k_bench():
           f"{spec.n_tris/dt/1e6:.2f} Mtris/s ({spec.n_tris} tris @ "
           f"{spec.width}x{spec.height})", file=sys.stderr)
     return spec.n_tris, dt
+
+
+def run_4k_band8_bench():
+    """BASELINE config 5 as 8 sequential horizontal bands on one chip — the
+    per-device work of an 8-row shard (auto shard_budget compaction + per-band
+    binning + kernel), measured, not assumed. Pre-flight: audit_bands (host-
+    side per-band triangle/pair counts vs budgets) AND a render-time overflow
+    fetch (banded tile grids realign per band, which the full-frame audit
+    cannot cover)."""
+    from dtrenderer_tpu.models.scenes import make_config5
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    spec = make_config5(extra_opts=dict(row_bands=8))
+    rep = spec.bands_audit(8)
+    print(f"bench(4k band8): band audit ok={rep['ok']} "
+          f"max_band_tris={max(rep['band_tris'])}/{rep['shard_budget']} "
+          f"max_band_pairs={max(rep['band_pairs'])}/{rep['pair_budget']}",
+          file=sys.stderr)
+    assert rep["ok"], f"banded config-5 audit failed: {rep}"
+
+    fb0 = fblib.create(spec.height, spec.width)
+    _, _, ov = jax.jit(
+        functools.partial(spec.frame, return_counters=True)
+    )(fb0.color, fb0.depth, jnp.float32(0.5))
+    ov = int(np.asarray(ov))
+    assert ov == 0, f"banded config-5 drops {ov} pairs at render time"
+
+    return device_time(spec.frame, fb0.color, fb0.depth, jnp.float32(0.5),
+                       iters=4, repeats=3)
 
 
 def run_soup_bench(h, w, on_tpu):

@@ -44,6 +44,9 @@ class SceneSpec(NamedTuple):
     # optional pre-flight binning audit () -> (overflow, max_count, capacity);
     # benchmarks must assert overflow == 0 before trusting timings
     audit: Callable | None = None
+    # optional banded/sharded pre-flight: (n_bands) -> pipeline.audit_bands
+    # report dict (per-band triangle/pair counts vs the shard/pair budgets)
+    bands_audit: Callable | None = None
 
 
 def _clear(color, depth, rgba):
@@ -77,13 +80,14 @@ def make_config1(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.0, 0.0, 1.0), 0.2)
 
-    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
+    def frame(color, depth, t, y_offset=0, frame_height=None,
+              frame_width=None, x_offset=0):
         fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
         mdl = m3.model_matrix((0.0, 0.0, -2.0), m3.rotate_z(t * 0.5))
         fb = draw_mesh(fb, mesh, mdl, proj, color=(0.9, 0.35, 0.2, 1.0),
                        light=light, shading="flat", backend=backend,
-                       y_offset=y_offset, frame_height=frame_height,
-                       frame_width=frame_width)
+                       y_offset=y_offset, x_offset=x_offset,
+                       frame_height=frame_height, frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config1_flat_triangle", width, height, 1, frame)
@@ -97,14 +101,15 @@ def make_config2(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.4, 0.6, 1.0), 0.15)
 
-    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
+    def frame(color, depth, t, y_offset=0, frame_height=None,
+              frame_width=None, x_offset=0):
         fb = _clear(color, depth, [0.05, 0.05, 0.08, 1.0])
         mdl = m3.model_matrix((0, 0, -4.5),
                               m3.mat4mul(m3.rotate_y(t), m3.rotate_x(t * 0.6)))
         fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
                        shading="flat", sampling_mode="nearest", backend=backend,
-                       y_offset=y_offset, frame_height=frame_height,
-                       frame_width=frame_width)
+                       y_offset=y_offset, x_offset=x_offset,
+                       frame_height=frame_height, frame_width=frame_width)
         return fb.color, fb.depth
 
     return SceneSpec("config2_textured_cube", width, height, mesh.num_tris, frame)
@@ -117,12 +122,13 @@ def make_config3(width=800, height=600, backend="fused") -> SceneSpec:
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.5, 0.4, 1.0), 0.12)
 
-    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
+    def frame(color, depth, t, y_offset=0, frame_height=None,
+              frame_width=None, x_offset=0):
         fb = _clear(color, depth, [0.04, 0.05, 0.09, 1.0])
         mdl = m3.model_matrix((0, 0, -2.6), m3.rotate_y(t), 1.2)
         fb = draw_mesh(fb, mesh, mdl, proj, texture=tex, light=light,
                        shading="gouraud", sampling_mode="bilinear",
-                       backend=backend, y_offset=y_offset,
+                       backend=backend, y_offset=y_offset, x_offset=x_offset,
                        frame_height=frame_height, frame_width=frame_width)
         return fb.color, fb.depth
 
@@ -140,7 +146,8 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
     light = make_light((0.4, 0.6, 1.0), 0.15)
     n_tris = head.num_tris + cube.num_tris + sphere.num_tris * 2
 
-    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
+    def frame(color, depth, t, y_offset=0, frame_height=None,
+              frame_width=None, x_offset=0):
         from dtrenderer_tpu.ops.pipeline import DrawSpec, draw_meshes
 
         fb = _clear(color, depth, [0.03, 0.03, 0.06, 1.0])
@@ -161,12 +168,14 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
             # one batched fused submission (bit-identical to sequential draws)
             fb = draw_meshes(fb, proj, specs, light=light,
                              sampling_mode="bilinear", y_offset=y_offset,
-                             frame_height=frame_height, frame_width=frame_width)
+                             x_offset=x_offset, frame_height=frame_height,
+                             frame_width=frame_width)
         else:
             for s in specs:
                 fb = draw_mesh(fb, s.mesh, s.model, proj, texture=s.texture,
                                color=s.color, light=light, shading=s.shading,
                                sampling_mode="bilinear", backend=backend,
+                               x_offset=x_offset,
                                y_offset=y_offset, frame_height=frame_height,
                                frame_width=frame_width)
         return fb.color, fb.depth
@@ -175,19 +184,18 @@ def make_config4(width=1920, height=1080, backend="fused") -> SceneSpec:
 
 
 def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
-                 capacity=1536) -> SceneSpec:
-    """1M-triangle stress soup at 4K (per-shard use via parallel/shard.py)."""
+                 capacity=1536, extra_opts: dict | None = None) -> SceneSpec:
+    """1M-triangle stress soup at 4K (per-shard use via parallel/shard.py).
+
+    extra_opts: raster_opts overrides merged on top of the production
+    settings (tuning sweeps, row_bands for the banded/sharded measurement).
+    The audit() hook audits whatever the merged opts are."""
     soup = primitives.random_triangle_soup(n_tris, rng_seed=11, extent=1.6)
     tex = primitives.gradient_texture(64)
     proj = jnp.asarray(m3.perspective(np.pi / 3, width / height, 0.1, 50.0))
     light = make_light((0.3, 0.5, 1.0), 0.2)
 
-    def frame(color, depth, t, y_offset=0, frame_height=None, frame_width=None):
-        fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
-        mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
-        # tile_h=32/cap1536 audited zero-overflow for 1M tris at 4K (max bin
-        # count 1228; smaller tiles or small_span 4 flood the broad list —
-        # 12.8k-197k broads vs cap 128, tools/profile_4k.py audit).
+    def make_opts():
         # pair_budget: real (tile,tri) pairs ~0.95M for this soup at t=0.5;
         # 1.4x n_tris is audited headroom (misses are COUNTED; bench asserts
         # zero overflow). flat_bins: the kernel DMAs per-tile rows of the
@@ -197,18 +205,34 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
                      pair_budget=int(1.4 * n_tris))
                 if backend in ("pallas", "fused") else None)
         if backend == "fused":
-            # tools/bench_4k.py sweep: no slab culling (the 1M-row y-sort
-            # machinery costs more than 4-slab culling saves), cols=2.
-            # chunk 32: fewer phase-1 loop iterations wins at ~900-count
-            # bins (151 vs 155 ms phase-1; chunk 8 is 178 — profile_4k sweep)
+            # tools/bench_4k.py sweep: cols=2; chunk 32: fewer phase-1 loop
+            # iterations wins at ~900-count bins (151 vs 155 ms phase-1;
+            # chunk 8 is 178 — profile_4k sweep)
             opts.update(chunk=32, use_ybounds=False, cols=2, flat_bins=True)
-        fb = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
-                       shading="gouraud", sampling_mode="nearest",
-                       backend=backend, y_offset=y_offset,
-                       frame_height=frame_height, frame_width=frame_width,
-                       raster_opts=opts,
-                       near_clip=False)  # soup never crosses the near plane
-        return fb.color, fb.depth
+        if opts is not None and extra_opts:
+            opts.update(extra_opts)
+        return opts
+
+    def frame(color, depth, t, y_offset=0, frame_height=None,
+              frame_width=None, x_offset=0, return_counters=False):
+        fb = _clear(color, depth, [0.02, 0.02, 0.04, 1.0])
+        mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(t * 0.3))
+        # tile_h=32/cap1536 audited zero-overflow for 1M tris at 4K (max bin
+        # count 1228; smaller tiles or small_span 4 flood the broad list —
+        # 12.8k-197k broads vs cap 128, tools/profile_4k.py audit).
+        res = draw_mesh(fb, soup, mdl, proj, texture=tex, light=light,
+                        shading="gouraud", sampling_mode="nearest",
+                        backend=backend, y_offset=y_offset, x_offset=x_offset,
+                        frame_height=frame_height, frame_width=frame_width,
+                        raster_opts=make_opts(),
+                        near_clip=False,  # soup never crosses the near plane
+                        return_counters=return_counters)
+        if return_counters:
+            fb, counters = res
+            # render-time drop check for modes the host audit cannot cover
+            # exactly (banded tile grids realign per band)
+            return fb.color, fb.depth, counters.bin_overflow
+        return res.color, res.depth
 
     def audit():
         from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_scene
@@ -217,11 +241,21 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
         return audit_scene(
             proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
             height, width, light=light, near_clip=False,
-            raster_opts=dict(capacity=capacity, small_span=8,
-                             pair_budget=int(1.4 * n_tris)),
+            raster_opts=make_opts() or {},
         )
 
-    return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit)
+    def bands_audit(n_bands: int):
+        from dtrenderer_tpu.ops.pipeline import DrawSpec, audit_bands
+
+        mdl = m3.model_matrix((0, 0, -2.8), m3.rotate_y(0.5 * 0.3))
+        return audit_bands(
+            proj, [DrawSpec(soup, mdl, texture=tex, shading="gouraud")],
+            height, width, n_bands, light=light, near_clip=False,
+            raster_opts=make_opts() or {},
+        )
+
+    return SceneSpec("config5_1m_tri_4k", width, height, n_tris, frame, audit,
+                     bands_audit)
 
 
 ALL_CONFIGS = {

@@ -8,6 +8,7 @@ Examples:
   python tools/cli.py --scene 3 --frames 5 --out /tmp/c3.png
   python tools/cli.py --scene 4 --backend pallas --w 1920 --h 1080
   python tools/cli.py --scene 5 --rows 8            # shard 4K frame over 8 devices
+  python tools/cli.py --scene 4 --rows 4 --cols 2   # 2D (rows x cols) tiles
 """
 
 from __future__ import annotations
@@ -36,6 +37,8 @@ def main():
     ap.add_argument("--backend", default="fused", choices=["ref", "pallas", "fused"])
     ap.add_argument("--rows", type=int, default=0,
                     help="shard the framebuffer into N row bands over devices")
+    ap.add_argument("--cols", type=int, default=1,
+                    help="also shard into M column bands (rows x cols 2D tiles)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--tris", type=int, default=1_000_000,
                     help="triangle count for scene 5")
@@ -110,14 +113,16 @@ def main():
     print(f"scene {spec.name}: {spec.width}x{spec.height}, {spec.n_tris} tris, "
           f"backend={args.backend}", file=sys.stderr)
 
-    if args.rows > 1:
+    if args.rows > 1 or args.cols > 1:
         from dtrenderer_tpu.parallel import shard
 
-        dmesh = shard.make_mesh(frames=1, rows=args.rows)
+        dmesh = shard.make_mesh(frames=1, rows=max(args.rows, 1),
+                                cols=args.cols)
 
-        def band_fn(band_fb, t, y0, fh, fw):
+        def band_fn(band_fb, t, y0, fh, fw, x0):
             c, d = spec.frame(band_fb.color, band_fb.depth, t,
-                              y_offset=y0, frame_height=fh, frame_width=fw)
+                              y_offset=y0, frame_height=fh, frame_width=fw,
+                              x_offset=x0)
             return Framebuffer(c, d)
 
         fbs = shard.create_sharded_fb(spec.height, spec.width, dmesh, batch=1)

@@ -115,6 +115,42 @@ def main():
         print(f"audit t{th} ss{ss}: broads={nb} mids={nmid} "
               f"small_pairs={npairs}", flush=True)
 
+    # ---- phase-2 attribution (VERDICT r3 #7): split the ~60 ms of
+    # "shading+merge" into (a) the XLA depth-merge/blend (measured alone on
+    # same-shaped inputs), (b) the in-kernel phase-2 work (full - phase1only
+    # - merge). Run with: python tools/profile_4k.py --phase2
+    def merge_only():
+        from dtrenderer_tpu.ops import fb as fblib2
+        from dtrenderer_tpu.utils.color import blend_over
+
+        z0 = jnp.full((h, w), 1.0, jnp.float32)
+        src0 = jnp.full((h, w, 4), 0.25, jnp.float32)
+        fb0b = fblib2.create(h, w)
+
+        def f(z, src, color, depth, t):
+            zt = z + t * jnp.float32(1e-45)
+            win = zt < depth
+            blended = blend_over(src, color)
+            return (jnp.where(win[..., None], blended, color),
+                    jnp.where(win, zt, depth))
+
+        return device_time(f, z0, src0, fb0b.color, fb0b.depth,
+                           jnp.float32(0.5), iters=8, repeats=2)
+
+    if "--phase2" in sys.argv:
+        dt_m = merge_only()
+        print(f"merge-only (XLA blend+where @4K)   {dt_m*1000:8.1f} ms",
+              flush=True)
+        for name, opts in [
+            ("full flat", dict(cfg, flat_bins=True, chunk=32)),
+            ("phase1-only flat", dict(cfg, flat_bins=True, chunk=32,
+                                      skip_shading=True)),
+        ]:
+            dt = device_time(make_frame(opts), fb0.color, fb0.depth,
+                             jnp.float32(0.5), iters=4, repeats=2)
+            print(f"{name:34s} {dt*1000:8.1f} ms", flush=True)
+        return
+
     variants = [
         ("bin-only flat t32", bin_flat(32, 8, 1536), False),
         ("phase1 flat chunk16", make_frame(
