@@ -20,6 +20,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA:CPU's JIT accumulates live compiled executables for every jitted program
+# the suite touches (the pjit cache pins them); after 100+ heavyweight
+# compiles in ONE process the NEXT large compile segfaults inside LLVM
+# (observed twice at different tests, always in backend_compile_and_load,
+# RSS ~8.5 GB on a 125 GB box — resource accumulation, not OOM and not any
+# single program). Dropping the caches every few tests releases the
+# executables and keeps the compiler healthy; the recompile cost is small
+# because tests rarely share programs across modules.
+_TESTS_PER_CACHE_CLEAR = 20
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _TESTS_PER_CACHE_CLEAR == 0:
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():
