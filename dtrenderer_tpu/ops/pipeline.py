@@ -885,6 +885,54 @@ def audit_bands(view_proj, draws, height, width, n_bands: int, light=None,
     )
 
 
+def audit_ordered(view_proj, mesh, model, height, width, light=None,
+                  cull_backfaces=True, near_clip=True,
+                  raster_opts: dict | None = None):
+    """Host-side pre-flight for the ORDERED tile engine (draw_mesh_ordered
+    engine="tile"): any dropped (tile, tri) pair CHANGES THE BLEND for every
+    later triangle on those pixels, so capacity/budget must be audited to
+    zero before the image can be trusted. Runs the REAL ordered binning once
+    (bin_triangles_flat(ordered=True) with render_ordered's defaults merged
+    under raster_opts) — exact, no duplicated cost model — and returns
+    (overflow, max_tile_count, capacity). Run per scene/config, NOT jitted.
+    """
+    import numpy as np
+
+    from dtrenderer_tpu.ops.binning import bin_triangles_flat
+    from dtrenderer_tpu.ops.shading import make_light
+
+    if light is None:
+        light = make_light()
+    opts = dict(raster_opts or {})
+    opts.pop("row_bands", None)  # ordered path never bands
+    opts.pop("chunk", None)      # kernel-only: no effect on bin counts
+    tile_h = int(opts.pop("tile_h", 16))
+    capacity = int(opts.pop("capacity", 256))
+    small_span = int(opts.pop("small_span", 16))
+    broad_cap = int(opts.pop("broad_cap", 128))
+    mvp = mat4mul(view_proj, model)
+    setup, _ = prepare_draw(mesh, model, view_proj, mvp, model, light,
+                            (1.0, 1.0, 1.0, 1.0), SHADING_NONE,
+                            width, height, cull_backfaces, near_clip)
+    T = setup.coef.shape[0]
+    pb = int(opts.pop("pair_budget", None) or 3 * T)
+    assert not opts, f"unknown ordered raster_opts: {sorted(opts)}"
+    local = jnp.stack([
+        jnp.clip(setup.bbox[:, 0], 0, width - 1),
+        jnp.clip(setup.bbox[:, 1], 0, height - 1),
+        jnp.clip(setup.bbox[:, 2], 0, width - 1),
+        jnp.clip(setup.bbox[:, 3], 0, height - 1)], axis=-1)
+    fbins = bin_triangles_flat(
+        setup.coef, local, setup.valid, height, width,
+        tile_h=tile_h, tile_w=128, capacity=capacity,
+        small_span=small_span, broad_cap=broad_cap,
+        payload=jnp.zeros((T, 1), jnp.float32),
+        pair_budget=min(pb, 3 * T), ordered=True,
+    )
+    return (int(np.asarray(fbins.overflow)),
+            int(np.asarray(fbins.counts).max()), capacity)
+
+
 class DrawSpec:
     """One mesh submission for the batched scene path (draw_meshes).
 
@@ -925,6 +973,8 @@ def draw_meshes(
     raster_opts: dict | None = None,
     near_clip: bool = True,
     return_counters: bool = False,
+    ordered_opts: dict | None = None,
+    ordered_engine: str = "auto",
 ):
     """Batched scene submission: ALL opaque meshes rasterize + shade in ONE fused
     kernel invocation (the multi-mesh analog of the reference's per-frame scene,
@@ -936,6 +986,11 @@ def draw_meshes(
     into one LUT with per-triangle base offsets), per-vertex lighting mode,
     color, and sampling mode (DrawSpec.sampling overrides the scene-wide
     `sampling_mode`; mixing nearest + bilinear draws stays one kernel call).
+
+    ordered_opts / ordered_engine tune the TRANSLUCENT singles' ordered path
+    (draw_mesh_ordered's raster_opts / engine — tile-engine capacity etc.);
+    `raster_opts` stays with the opaque fused runs, whose keys (pair_budget,
+    flat_bins, ...) do not apply to the ordered kernel.
     """
     from dtrenderer_tpu.ops.render_fused import (
         SAMPLE_MIXED, dummy_texture_lut, make_texture_lut, pack_flags,
@@ -1000,6 +1055,7 @@ def draw_meshes(
                     normal_mat=d.normal_mat, frame_height=fh, frame_width=fw,
                     y_offset=y_offset, x_offset=x_offset, near_clip=near_clip,
                     return_counters=return_counters,
+                    engine=ordered_engine, raster_opts=ordered_opts,
                 )
                 if return_counters:
                     out, c = res

@@ -200,6 +200,56 @@ def test_draw_meshes_interleaved_opaque_translucent_opaque():
     assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
 
 
+def test_audit_ordered_preflight():
+    """pipeline.audit_ordered must flag an over-tight tile-engine capacity
+    HOST-SIDE (before a render silently corrupts the blend) and must agree
+    with the render-time counters at both tight and sane settings."""
+    from dtrenderer_tpu.ops.pipeline import audit_ordered
+
+    soup = primitives.random_triangle_soup(2_000, rng_seed=9, extent=0.5)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.2)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+
+    for opts in (dict(tile_h=16, capacity=128, small_span=8),
+                 dict(tile_h=16, capacity=2048, small_span=8)):
+        ov, max_count, cap = audit_ordered(
+            proj, soup, mdl, H, W, near_clip=False, raster_opts=opts)
+        assert cap == opts["capacity"]
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        _, c = draw_mesh_ordered(fb, soup, mdl, proj,
+                                 color=(0.8, 0.4, 0.3, 0.5), shading="none",
+                                 near_clip=False, engine="tile",
+                                 raster_opts=opts, return_counters=True)
+        assert ov == int(c.bin_overflow), (
+            "audit disagrees with render-time drop counter")
+    assert ov == 0 and max_count <= 2048  # the sane config passes clean
+
+
+def test_draw_meshes_ordered_opts_passthrough():
+    """draw_meshes(ordered_opts=, ordered_engine=) must reach the translucent
+    singles: a deliberately tight tile-engine capacity shows up in the merged
+    counters, and the scan engine (no binning) reports zero."""
+    soup = primitives.random_triangle_soup(2_000, rng_seed=9, extent=0.5)
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.2)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    draws = [DrawSpec(soup, mdl, color=(0.8, 0.4, 0.3, 0.5), shading="none")]
+
+    def run(**kw):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_meshes(fb, proj, draws, near_clip=False,
+                           return_counters=True, **kw)
+
+    _, tight = run(ordered_opts=dict(tile_h=16, capacity=128, small_span=8))
+    assert int(tight.bin_overflow) > 0
+    out_t, sane = run(ordered_opts=dict(tile_h=16, capacity=2048,
+                                        small_span=8))
+    assert int(sane.bin_overflow) == 0
+    out_s, scan = run(ordered_engine="scan")
+    assert int(scan.bin_overflow) == 0
+    assert np.array_equal(np.asarray(pack_srgb_u8(out_t.color)),
+                          np.asarray(pack_srgb_u8(out_s.color)))
+
+
 def test_ordered_tile_engine_counts_drops():
     """The tile engine's binning drops (capacity/budget) CHANGE the blend for
     every later triangle — they must surface as counters, and a sane capacity
