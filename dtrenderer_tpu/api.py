@@ -144,6 +144,20 @@ def render_mesh(state: RenderState, mesh, model, view_proj, **kwargs):
     return state._replace(fb=out)
 
 
+def render_mesh_ordered(state: RenderState, mesh, model, view_proj, **kwargs):
+    """Submission-order mesh draw (the reference's sequential per-pixel blend
+    + depth-write semantics — required for TRANSLUCENT geometry; kwargs
+    forwarded to ops.pipeline.draw_mesh_ordered: engine="tile"/"scan"/"auto",
+    raster_opts, return_counters). Opaque meshes should use render_mesh
+    (bit-identical for opaque, faster)."""
+    out = pipeline.draw_mesh_ordered(state.fb, mesh, model, view_proj,
+                                     **kwargs)
+    if kwargs.get("return_counters"):
+        fb, counters = out
+        return state._replace(fb=fb), counters
+    return state._replace(fb=out)
+
+
 def render_meshes(state: RenderState, view_proj, draws, **kwargs):
     """Batched scene submission: all opaque meshes in one fused kernel call.
 

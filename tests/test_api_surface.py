@@ -46,6 +46,9 @@ def test_full_frame_through_api():
     proj = m3.perspective(np.pi / 3, 128 / 96, 0.1, 50.0)
     st = api.render_mesh(st, mesh, m3.model_matrix((0, 0, -4)), proj,
                          texture=primitives.checkerboard(8, 2))
+    st = api.render_mesh_ordered(st, mesh, m3.model_matrix((-1.2, 0, -4)),
+                                 proj, color=rgba(0.9, 0.4, 0.2, 0.5),
+                                 shading="none")
     st = api.render_rectangle(st, (4, 4), (30, 16), rgba(1, 0, 0, 0.5))
     st = api.render_line(st, (0, 90), (127, 70), rgba(1, 1, 0, 1))
     st = api.render_text(st, "ok", (40, 4))
