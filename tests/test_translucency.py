@@ -200,6 +200,32 @@ def test_draw_meshes_interleaved_opaque_translucent_opaque():
     assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
 
 
+def test_ordered_auto_engine_big_texture_routes_to_scan():
+    """engine="auto" must fall back to the scan engine when the texture
+    exceeds the tile kernel's VMEM LUT budget (TEX_BUDGET_TEXELS). Raw f32
+    output of the two engines differs by XLA FMA contraction, so BITWISE f32
+    equality with a forced engine="scan" proves the auto route took scan."""
+    mesh = _two_overlapping_tris()
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -1.5)))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+
+    side = int(np.sqrt(TEX_BUDGET_TEXELS)) + 8  # just over budget
+    big_tex = jnp.broadcast_to(
+        jnp.linspace(0.1, 0.9, side, dtype=jnp.float32)[None, :, None],
+        (side, side, 4))
+
+    def run(engine):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_mesh_ordered(fb, mesh, mdl, proj, texture=big_tex,
+                                 color=(0.9, 0.5, 0.4, 0.5), shading="none",
+                                 engine=engine)
+
+    auto, scan = run("auto"), run("scan")
+    assert np.array_equal(np.asarray(auto.color), np.asarray(scan.color))
+    assert np.array_equal(np.asarray(auto.depth), np.asarray(scan.depth))
+
+
 def test_audit_ordered_preflight():
     """pipeline.audit_ordered must flag an over-tight tile-engine capacity
     HOST-SIDE (before a render silently corrupts the blend) and must agree
