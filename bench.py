@@ -31,6 +31,34 @@ import jax.numpy as jnp
 
 
 def main():
+    # The axon tunnel is flaky: backend init can raise UNAVAILABLE or HANG
+    # outright (observed: a multi-hour outage mid-round; hangs block in C so
+    # in-process timeouts cannot interrupt them, and jax caches the failure
+    # for the process lifetime so in-process retries are useless). Probe in a
+    # SUBPROCESS with a hard timeout before this process touches a device;
+    # on persistent failure emit an explicit error artifact instead of
+    # crashing (or hanging) with no JSON line.
+    import subprocess
+    import time
+
+    for attempt in range(4):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True, capture_output=True)
+            break
+        except Exception as e:  # init failure/hang, not a code bug
+            print(f"bench: backend probe failed (attempt {attempt + 1}/4): "
+                  f"{type(e).__name__}", file=sys.stderr)
+            if attempt == 3:
+                print(json.dumps(dict(
+                    metric="shaded_fill_rate_1080p_single_chip", value=0.0,
+                    unit="Mpix/s", vs_baseline=0.0,
+                    extra={"error": "TPU backend unavailable "
+                                    "(tunnel probe failed 4x)"})))
+                return
+            time.sleep(30)
+
     from dtrenderer_tpu.models import primitives
     from dtrenderer_tpu.ops import fb as fblib
     from dtrenderer_tpu.ops.pipeline import draw_mesh

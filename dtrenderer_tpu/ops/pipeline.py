@@ -398,19 +398,28 @@ def _render_fused_banded(coef, bbox, valid, payload, tex_lut, light,
         opts["pair_budget"] = max(
             128, -(-int(opts["pair_budget"]) * 13 // (10 * row_bands))
             // 128 * 128)
-    zs, srcs = [], []
-    overflow = jnp.zeros((), jnp.int32)
-    for b in range(row_bands):
+    # lax.scan over bands: the band body (compaction + binning + kernel) is
+    # IDENTICAL per band except the traced y_offset, so scan compiles it ONCE
+    # — an 8-band 4K program is ~8x smaller and compiles ~8x faster than the
+    # unrolled loop, at identical runtime semantics (bands are data-
+    # independent but TPU executes kernels sequentially either way).
+    y0s = jnp.asarray(y_offset, jnp.int32) + (
+        jnp.arange(row_bands, dtype=jnp.int32) * bh)
+
+    def band(overflow, y0):
         z_b, src_b, ov_b = render_fused(
             coef, bbox, valid, payload, tex_lut,
             light.direction, light.ambient, bh, w,
-            y_offset=y_offset + b * bh, x_offset=x_offset,
+            y_offset=y0, x_offset=x_offset,
             bilinear=bilinear, with_phong=with_phong, layout=layout, **opts,
         )
-        zs.append(z_b)
-        srcs.append(src_b)
-        overflow = overflow + ov_b
-    return jnp.concatenate(zs, axis=0), jnp.concatenate(srcs, axis=0), overflow
+        return overflow + ov_b, (z_b, src_b)
+
+    import jax
+
+    overflow, (zs, srcs) = jax.lax.scan(
+        band, jnp.zeros((), jnp.int32), y0s)
+    return (zs.reshape(h, w), srcs.reshape(h, w, srcs.shape[-1]), overflow)
 
 
 def _with_auto_shard_budget(raster_opts, n_tris: int, h: int, w: int,
