@@ -141,12 +141,34 @@ def main():
         dt_m = merge_only()
         print(f"merge-only (XLA blend+where @4K)   {dt_m*1000:8.1f} ms",
               flush=True)
-        for name, opts in [
-            ("full flat", dict(cfg, flat_bins=True, chunk=32)),
-            ("phase1-only flat", dict(cfg, flat_bins=True, chunk=32,
-                                      skip_shading=True)),
+
+        # untextured variant: plan_layout drops uv+texmeta, the kernel skips
+        # uv interp + LUT gathers — (full - untextured) attributes the
+        # texture-side cost inside phase 2 (the rest is rgba interp + store).
+        def make_frame_untex(opts):
+            def frame(color, depth, t):
+                fb = fblib.Framebuffer(color, depth)
+                fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.04, 1],
+                                                 jnp.float32))
+                rot_t = m3.rotate_y(t - jnp.float32(0.5))
+                fb = draw_meshes(
+                    fb, proj,
+                    [DrawSpec(soup, m3.mat4mul(mdl0, rot_t),
+                              shading="gouraud")],
+                    light=light, sampling_mode="nearest", near_clip=False,
+                    raster_opts=opts,
+                )
+                return fb.color, fb.depth
+            return frame
+
+        for name, mk, opts in [
+            ("full flat", make_frame, dict(cfg, flat_bins=True, chunk=32)),
+            ("phase1-only flat", make_frame,
+             dict(cfg, flat_bins=True, chunk=32, skip_shading=True)),
+            ("untextured flat", make_frame_untex,
+             dict(cfg, flat_bins=True, chunk=32)),
         ]:
-            dt = device_time(make_frame(opts), fb0.color, fb0.depth,
+            dt = device_time(mk(opts), fb0.color, fb0.depth,
                              jnp.float32(0.5), iters=4, repeats=2)
             print(f"{name:34s} {dt*1000:8.1f} ms", flush=True)
         return
