@@ -49,6 +49,31 @@ def test_config5_small_render(rng):
     assert np.array_equal(np.isfinite(depth_ref), np.isfinite(depth))
 
 
+def test_config5_banded_audit_and_parity():
+    """The flagship banded path end-to-end at mini scale — exactly the flow
+    bench.run_4k_band8_bench runs on TPU: bands_audit pre-flight OK, zero
+    render-time overflow (counters through the scene hook), and the 8-band
+    frame bit-exact vs the unbanded one (the multi-chip scaling stand-in)."""
+    import functools
+
+    base = dict(tile_h=8, capacity=512, small_span=8, pair_budget=8192,
+                chunk=8, cols=1)
+    spec = scenes.make_config5(width=256, height=128, n_tris=2000,
+                               extra_opts=dict(base, row_bands=8))
+    rep = spec.bands_audit(8)
+    assert rep["ok"], rep
+    assert len(rep["band_tris"]) == 8 and sum(rep["band_tris"]) > 0
+    fb0 = fblib.create(spec.height, spec.width)
+    c, d, ov = jax.jit(functools.partial(spec.frame, return_counters=True))(
+        fb0.color, fb0.depth, jnp.float32(0.5))
+    assert int(np.asarray(ov)) == 0
+    spec_u = scenes.make_config5(width=256, height=128, n_tris=2000,
+                                 extra_opts=dict(base))
+    cu, du = jax.jit(spec_u.frame)(fb0.color, fb0.depth, jnp.float32(0.5))
+    assert np.array_equal(np.asarray(c), np.asarray(cu))
+    assert np.array_equal(np.asarray(d), np.asarray(du))
+
+
 def test_scene_determinism():
     spec = scenes.make_config2(width=128, height=96, backend="ref")
     a, _ = _render(spec, 0.7)
