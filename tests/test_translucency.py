@@ -106,6 +106,45 @@ def test_ordered_translucent_textured_gouraud():
     _assert_u8(fb.color, ref_c)
 
 
+def test_ordered_translucent_phong_vs_oracle_and_scan():
+    """Per-pixel Phong through the ORDERED path: tile engine vs the scalar
+    sequential-blend oracle (the default engine is tile — _run covers it) AND
+    tile vs scan cross-engine at packed u8 (the kernel's with_phong branch)."""
+    sphere = primitives.uv_sphere(10, 12)
+    tex = primitives.checkerboard(8, 2)
+    fb, ref_c, _ = _run(sphere, (0.9, 0.7, 0.5, 0.55), shading="phong",
+                        sampl="bilinear", texture=tex)
+    _assert_u8(fb.color, ref_c)
+
+    model = jnp.asarray(m3.translate([0, 0, -2.0]))
+    proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+    light = make_light((0.3, 0.5, 1.0), 0.15)
+
+    def run(engine):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_mesh_ordered(fb, sphere, model, proj, texture=tex,
+                                 light=light, color=(0.9, 0.7, 0.5, 0.55),
+                                 shading="phong", sampling_mode="bilinear",
+                                 engine=engine)
+
+    a, b = run("tile"), run("scan")
+    assert np.array_equal(np.asarray(pack_srgb_u8(a.color)),
+                          np.asarray(pack_srgb_u8(b.color)))
+
+    # WHITE phong: plan_layout drops the rgba channels entirely
+    # (corner_rgba_is_q) — the tile kernel's has_rgba=False reconstruction
+    # must still match the scan engine at packed u8.
+    def run_white(engine):
+        fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
+        return draw_mesh_ordered(fb, sphere, model, proj, texture=tex,
+                                 light=light, shading="phong",
+                                 sampling_mode="bilinear", engine=engine)
+
+    aw, bw = run_white("tile"), run_white("scan")
+    assert np.array_equal(np.asarray(pack_srgb_u8(aw.color)),
+                          np.asarray(pack_srgb_u8(bw.color)))
+
+
 def test_ordered_equals_unordered_for_opaque():
     """For opaque geometry the ordered path is bit-identical to the deferred
     ref path (the order-free split's exactness claim, FORMULAS.md)."""
