@@ -155,7 +155,19 @@ def main():
         "soup_frame_ms": round(soup_dt * 1000, 2),
     }
 
-    # ---- scene 3: the FULL BASELINE config 5 (1M-tri soup @4K) ----
+    # ---- scene 3: ordered translucency (round-4 tile engine) ----
+    if on_tpu:
+        try:
+            otris, odt = run_ordered_bench(h, w)
+        except Exception as e:  # record, keep the artifact
+            extra["ordered_error"] = str(e)[:200]
+            print(f"bench(ordered): FAILED {e}", file=sys.stderr)
+        else:
+            extra["ordered_tris"] = otris
+            extra["ordered_frame_ms"] = round(odt * 1000, 2)
+            extra["ordered_mtris_s"] = round(otris / odt / 1e6, 2)
+
+    # ---- scene 4: the FULL BASELINE config 5 (1M-tri soup @4K) ----
     if on_tpu:
         tris4k, dt4k = run_4k_bench()
         extra["4k_tris"] = tris4k
@@ -244,6 +256,52 @@ def run_band8_bench(h, w, sphere, tex, proj, light, models):
     fb0 = fblib.create(h, w)
     return device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5),
                        iters=8, repeats=3)
+
+
+def run_ordered_bench(h, w):
+    """Reference-order translucency through the production tile engine
+    (pipeline.draw_mesh_ordered(engine="tile"), ops/raster_ordered.py):
+    a ~5k-tri translucent sphere @1080p — the README reference scene. The
+    round-3 lax.scan engine measured 59-64 ms here; the tile kernel's
+    per-tile id-ordered windows are the round-4 fix. Drops CHANGE the
+    blend for ordered draws, so overflow is audited to zero first."""
+    from dtrenderer_tpu.models import primitives
+    from dtrenderer_tpu.ops import fb as fblib
+    from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
+    from dtrenderer_tpu.ops.shading import make_light
+    from dtrenderer_tpu.utils import math3d as m3
+    from dtrenderer_tpu.utils.benchlib import device_time
+
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    light = make_light((0.4, 0.6, 1.0), 0.15)
+    mesh = primitives.uv_sphere(50, 52)  # ~5k tris
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -3.0), m3.rotate_y(0.4), 1.4))
+    col = (0.8, 0.5, 0.9, 0.5)
+    fb0 = fblib.create(h, w)
+
+    _, counters = draw_mesh_ordered(
+        fb0, mesh, mdl, proj, light=light, color=col, shading="gouraud",
+        engine="tile", return_counters=True)
+    ov = int(np.asarray(counters.bin_overflow))
+    print(f"bench(ordered): {mesh.num_tris} tris, overflow={ov}",
+          file=sys.stderr)
+    assert ov == 0, "ordered bin overflow — the blend would be wrong"
+
+    def frame(color, depth, t):
+        fb = fblib.Framebuffer(color, depth)
+        fb = fblib.clear(fb, jnp.asarray([0.02, 0.02, 0.05, 1.0], jnp.float32))
+        rot_t = m3.rotate_y(t - jnp.float32(0.5))
+        out = draw_mesh_ordered(fb, mesh, m3.mat4mul(mdl, rot_t), proj,
+                                light=light, color=col, shading="gouraud",
+                                engine="tile")
+        return out.color, out.depth
+
+    dt = device_time(frame, fb0.color, fb0.depth, jnp.float32(0.5),
+                     iters=8, repeats=3)
+    print(f"bench(ordered): {dt*1000:.2f} ms/frame tile engine "
+          f"({mesh.num_tris/dt/1e6:.2f} Mtris/s reference-order)",
+          file=sys.stderr)
+    return mesh.num_tris, dt
 
 
 def run_4k_bench():
