@@ -392,7 +392,7 @@ def _emit_pair_keys_vals(small, n_cover, tx0, sy0, span_w, T: int,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "small_span", "broad_cap", "pair_budget", "mid_cap",
-                     "n_slabs", "ordered"),
+                     "n_slabs", "ordered", "row_bands"),
 )
 def bin_triangles_flat(
     coef,
@@ -410,6 +410,7 @@ def bin_triangles_flat(
     mid_cap: int | None = None,
     n_slabs: int = 1,
     ordered: bool = False,
+    row_bands: int = 1,
 ) -> FlatBins:
     """Flat binning for render_fused(flat_bins=True): sort the (tile, tri)
     pairs and gather the sorted-prefix table ONCE — NO dense [tiles, K, C]
@@ -447,6 +448,26 @@ def bin_triangles_flat(
     None = auto (T/4, 128-quantized); overflow counts dropped mid pairs
     when a scene exceeds it.
 
+    row_bands > 1 (the SHARED cross-band binning pass; height must be the
+    FULL frame height, divisible by row_bands): pairs are emitted over the
+    BANDED tile grid — the frame split into row_bands horizontal bands of
+    band_h = height // row_bands pixel rows, each band tiled independently
+    from its own top edge (exactly the per-band grids the banded/sharded
+    render uses; the last tile row of a band is truncated at the band
+    boundary, so banded rows are NOT the unbanded rows when band_h %
+    tile_h != 0). ONE sort/gather produces ONE table whose starts/counts
+    come back [row_bands * ceil(band_h/tile_h), n_tx] (band-major): every
+    band's render consumes its own row-slice of the SAME table, replacing
+    row_bands separate compaction+sort+gather passes (the measured 56%
+    per-band binning redundancy of the replicated-scene band decomposition,
+    BENCH_r04). Keys are the banded-tile id alone with the triangle id
+    carried as a sort VALUE (_emit_pair_keys_vals, tier 2 — band grids keep
+    the unbanded tile_h quantization, so 1-2-tile covers dominate), so the
+    packed-int32 2^31 key-domain cap does not apply. Windows are NOT
+    id-ordered (two-tier emission) — the kernel must tie-break depth by the
+    id channel. Broads are the one shared block walked by every tile of
+    every band.
+
     ordered (raster_ordered's sequential-blend kernel; n_slabs == 1 only):
     broad triangles are emitted INTO the per-tile windows — one [broad_cap,
     n_tiles] key matrix masked to each broad's tile-span rectangle — instead
@@ -465,7 +486,36 @@ def bin_triangles_flat(
     n_tiles = n_ty * n_tx
     K = capacity
 
-    if n_slabs > 1:
+    if row_bands > 1:
+        assert n_slabs == 1 and not ordered, (
+            "row_bands composes with the plain flat kernel only")
+        assert height % row_bands == 0, (
+            f"row_bands={row_bands} must divide the frame height {height}")
+        band_h = height // row_bands
+        n_tyb = _ceil_div(band_h, tile_h)
+        n_rows = row_bands * n_tyb
+        n_band_tiles = n_rows * n_tx
+
+        def brow(y):  # banded tile-row index: monotone, exact per band grid
+            b = y // band_h
+            return b * n_tyb + (y - b * band_h) // tile_h
+
+        tx0, tx1 = bbox[:, 0] // tile_w, bbox[:, 2] // tile_w
+        ry0, ry1 = brow(bbox[:, 1]), brow(bbox[:, 3])
+        span_w = tx1 - tx0 + 1
+        n_cover = jnp.where(valid, span_w * (ry1 - ry0 + 1), 0)
+        small = valid & (n_cover > 0) & (n_cover <= small_span)
+        broad = valid & (n_cover > small_span)
+        key_flat, val_flat, mid_overflow = _emit_pair_keys_vals(
+            small, n_cover, tx0, ry0, span_w, T, n_band_tiles, n_tx,
+            small_span, mid_cap, tier=2)
+        key_sorted, val_sorted = jax.lax.sort(
+            (key_flat, val_flat), num_keys=1)
+        starts = jnp.searchsorted(
+            key_sorted, jnp.arange(n_band_tiles + 1, dtype=I32))
+        n_ranges, range_rows = n_band_tiles, n_rows
+        sent_floor = I32(n_band_tiles)
+    elif n_slabs > 1:
         assert n_slabs == tile_h // 8 and tile_h % 8 == 0
         n_sy = n_ty * n_slabs
         n_slab_tiles = n_sy * n_tx

@@ -72,9 +72,19 @@ class PayloadLayout(NamedTuple):
         so rgba = qf * inv_qf without shipping 12 corner channels. Only valid
         when NO draw bakes lighting into corner colors (phong/none shading)
         and every color is exactly (1,1,1,1).
+      - mono_rgb=True (with has_rgba): every draw's corner colors are GRAY
+        with unit alpha — host-known color r == g == b and a == 1.0, any
+        shading mode (flat/gouraud bake a SCALAR light term, which preserves
+        r == g == b; phong/none don't touch corner colors). The three
+        rgb*q corner channels are bit-identical, so ONE mono channel (r*q)
+        reconstructs all three (identical inputs -> identical interp), and
+        a*q == 1.0*q == q bit-exactly so a = qf * inv_qf. 4 rgba channels
+        -> 1: at config 5 (textured gouraud, white color) the payload drops
+        21 -> 12 channels and phase 2's slot-gather loop with it.
       - has_normals=False: no phong draw (matches with_phong).
-    Corner channel order (per corner): q [, u*q, v*q] [, r*q, g*q, b*q, a*q]
-    [, nx*q, ny*q, nz*q]. Payload: [texmeta 3?][flags 1?][corner0..2].
+    Corner channel order (per corner): q [, u*q, v*q] [, r*q, g*q, b*q, a*q
+    | mono*q] [, nx*q, ny*q, nz*q]. Payload: [texmeta 3?][flags 1?]
+    [corner0..2].
     """
 
     has_texmeta: bool = True
@@ -83,10 +93,15 @@ class PayloadLayout(NamedTuple):
     has_rgba: bool = True
     has_normals: bool = True
     tex_const: tuple[int, int, int] | None = None  # (base, tw, th) static
+    mono_rgb: bool = False  # rgba block is ONE mono channel (see docstring)
+
+    @property
+    def rgba_channels(self) -> int:
+        return 0 if not self.has_rgba else (1 if self.mono_rgb else 4)
 
     @property
     def corner_stride(self) -> int:
-        return (1 + 2 * self.has_uv + 4 * self.has_rgba
+        return (1 + 2 * self.has_uv + self.rgba_channels
                 + 3 * self.has_normals)
 
     @property
@@ -113,7 +128,7 @@ class PayloadLayout(NamedTuple):
 
     @property
     def off_n(self):
-        return (1 + 2 * self.has_uv + 4 * self.has_rgba
+        return (1 + 2 * self.has_uv + self.rgba_channels
                 if self.has_normals else None)
 
 
@@ -1060,6 +1075,170 @@ def make_texture_lut(textures):
     return jnp.transpose(flat, (1, 0)), meta  # [4, L_pad]
 
 
+def _norm_batch_rows(batch_rows: int | None, tile_h: int, tile_w: int) -> int:
+    """Shared phase-2 batch sizing: default to the measured 32-row plateau,
+    snapped down so batches tile the tile's pixel rows exactly."""
+    if batch_rows is None:
+        batch_rows = min(32, tile_h)
+    n_pix = tile_h * tile_w
+    assert n_pix % 128 == 0, (
+        f"tile {tile_h}x{tile_w} = {n_pix} px must be a multiple of 128 "
+        f"(VPU lanes); pick a lane-aligned tile shape")
+    batch_rows = max(1, min(batch_rows, n_pix // 128))
+    while n_pix % (batch_rows * 128):
+        batch_rows //= 2
+    return batch_rows
+
+
+def render_fused_rowbands(
+    coef,
+    bbox,
+    valid,
+    payload,
+    tex_lut,
+    light_dir,
+    ambient,
+    height: int,
+    width: int,
+    row_bands: int,
+    band_index=None,
+    y_offset=0,
+    x_offset=0,
+    tile_h: int = DEFAULT_RASTER_OPTS["tile_h"],
+    tile_w: int = DEFAULT_RASTER_OPTS["tile_w"],
+    capacity: int = DEFAULT_RASTER_OPTS["capacity"],
+    small_span: int = DEFAULT_RASTER_OPTS["small_span"],
+    broad_cap: int = DEFAULT_RASTER_OPTS["broad_cap"],
+    bilinear: bool | int = False,
+    with_phong: bool = True,
+    interpret: bool | None = None,
+    chunk: int = CHUNK,
+    skip_shading: bool = False,
+    cols: int = 1,
+    layout: PayloadLayout = FULL_LAYOUT,
+    batch_rows: int | None = None,
+    pair_budget: int | None = None,
+    mid_cap: int | None = None,
+):
+    """Banded fused draw with ONE SHARED cross-band binning pass.
+
+    The replicated-scene band decomposition (pipeline row_bands /
+    parallel/shard.py) used to re-run compaction + pair sort + prefix gather
+    PER BAND — measured at config 5 as a 56% sum-of-bands overhead
+    (BENCH_r04: 322 ms banded sum vs 206 ms unbanded). Here the binning runs
+    ONCE over the full frame's BANDED tile grid
+    (binning.bin_triangles_flat(row_bands=...)): every band's kernel call
+    consumes its own row-slice of starts/counts against the SAME sorted-
+    prefix table in HBM. `height` is always the FULL frame height
+    (band_h = height // row_bands).
+
+    band_index=None (single chip): a lax.scan renders all bands sequentially
+    (compiled once) and returns the assembled full frame — bit-exact vs the
+    unbanded render at zero overflow, same contract as the per-band path.
+
+    band_index=i (one device of a shard_map over "rows"): renders ONLY band
+    i into a [band_h, width] output — each device computes the (identical,
+    replicated) binning and consumes its slice; on real multi-chip hardware
+    the replicated binning runs concurrently on every chip, so wall-clock is
+    one binning + one band's kernel. y_offset must then be the band's global
+    offset (band_index * band_h + frame offset), exactly what
+    parallel/shard.py passes.
+
+    pair_budget is the FULL-frame budget (the unbanded production value),
+    not a per-band share. Returns (z, src, overflow) like render_fused;
+    overflow counts the shared pass's drops once.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert capacity % 128 == 0, "capacity must be a multiple of 128"
+    assert payload.shape[1] == layout.n_payload
+    assert height % row_bands == 0
+    band_h = height // row_bands
+    assert capacity % chunk == 0, (
+        f"flat_bins needs chunk ({chunk}) to divide capacity ({capacity})")
+    T = coef.shape[0]
+
+    # frame-origin offsets: with band_index, the caller passes the BAND's
+    # global y_offset (band_index * band_h + frame offset) — recover the
+    # frame origin for the full-frame binning.
+    y_off = jnp.asarray(y_offset, I32)
+    x_off = jnp.asarray(x_offset, I32)
+    if band_index is not None:
+        bi = jnp.asarray(band_index, I32)
+        y_frame = y_off - bi * band_h
+    else:
+        y_frame = y_off
+
+    in_shard = (
+        valid
+        & (bbox[:, 2] >= x_off) & (bbox[:, 0] < x_off + width)
+        & (bbox[:, 3] >= y_frame) & (bbox[:, 1] < y_frame + height)
+    )
+    local = jnp.stack(
+        [
+            jnp.clip(bbox[:, 0] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 1] - y_frame, 0, height - 1),
+            jnp.clip(bbox[:, 2] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 3] - y_frame, 0, height - 1),
+        ],
+        axis=-1,
+    )
+    if pair_budget is None:
+        pair_budget = 3 * T
+    pair_budget = min(int(pair_budget), 3 * T)
+
+    from dtrenderer_tpu.ops.binning import bin_triangles_flat
+
+    fbins = bin_triangles_flat(
+        coef, local, in_shard, height, width,
+        tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+        small_span=small_span, broad_cap=broad_cap, payload=payload,
+        pair_budget=int(pair_budget), mid_cap=mid_cap,
+        row_bands=row_bands,
+    )
+    n_tyb = -(-band_h // tile_h)
+    n_tx = fbins.starts.shape[1]
+    starts3 = fbins.starts.reshape(row_bands, n_tyb, n_tx)
+    counts3 = fbins.counts.reshape(row_bands, n_tyb, n_tx)
+
+    batch_rows = _norm_batch_rows(batch_rows, tile_h, tile_w)
+    sampling = int(bilinear)
+    assert sampling in (SAMPLE_NEAREST, SAMPLE_BILINEAR, SAMPLE_MIXED)
+    scalars = jnp.asarray(
+        [[light_dir[0], light_dir[1], light_dir[2], ambient,
+          0.0, 0.0, 0.0, 0.0]], F32)
+
+    def render_band(st, ct, y0):
+        fb_b = fbins._replace(starts=st, counts=ct)
+        offs = jnp.stack([jnp.asarray(y0, I32), x_off]).reshape(1, 2)
+        # banded windows are never id-ordered (two-tier value-carrying
+        # emission) -> the id-channel depth tie is required
+        return _render_from_flat_bins(
+            fb_b, offs, scalars, tex_lut,
+            band_h, width, tile_h, tile_w, capacity, sampling, with_phong,
+            interpret, chunk, skip_shading, cols, layout,
+            batch_rows, True, False,
+        )
+
+    if band_index is not None:
+        st = jax.lax.dynamic_index_in_dim(starts3, bi, 0, keepdims=False)
+        ct = jax.lax.dynamic_index_in_dim(counts3, bi, 0, keepdims=False)
+        z, src = render_band(st, ct, y_off)
+        return z, src, fbins.overflow
+
+    y0s = y_frame + jnp.arange(row_bands, dtype=I32) * band_h
+
+    def body(carry, xs):
+        st, ct, y0 = xs
+        z_b, src_b = render_band(st, ct, y0)
+        return carry, (z_b, src_b)
+
+    _, (zs, srcs) = jax.lax.scan(body, 0, (starts3, counts3, y0s))
+    return (zs.reshape(height, width),
+            srcs.reshape(height, width, srcs.shape[-1]),
+            fbins.overflow)
+
+
 def auto_shard_budget(n_tris: int, n_bands: int, factor: float = 2.5,
                       quantum: int = 128) -> int:
     """Default per-band triangle budget for replicated-scene band sharding.
@@ -1078,6 +1257,15 @@ def auto_shard_budget(n_tris: int, n_bands: int, factor: float = 2.5,
         return n_tris  # unsharded: compaction would be pure overhead
     b = math.ceil(factor * n_tris / n_bands / quantum) * quantum
     return max(quantum, b)
+
+
+def band_pair_budget(pair_budget: int, row_bands: int) -> int:
+    """Per-band share of a FULL-frame pair budget for the LEGACY (per-band
+    binning) banded path: 1.3x the mean band share as skew headroom, 128-
+    quantized. The SINGLE SOURCE for this formula — pipeline's banded render
+    and pipeline.audit_bands both call it, so they cannot desynchronize
+    (VERDICT r4 weak #4). Misses are counted in overflow either way."""
+    return max(128, -(-int(pair_budget) * 13 // (10 * row_bands)) // 128 * 128)
 
 
 def _compact_to_shard(coef, local_bbox, in_shard, payload, budget: int):
@@ -1103,6 +1291,101 @@ def _compact_to_shard(coef, local_bbox, in_shard, payload, budget: int):
     safe = jnp.where(valid_c, sel, 0)
     dropped = jnp.maximum(jnp.sum(in_shard.astype(I32)) - budget, 0)
     return (coef[safe], local_bbox[safe], valid_c, payload[safe], dropped)
+
+
+def _resolve_bin_mode(tile_h: int, use_ybounds, flat_bins: bool,
+                      flat_slabs: bool, broad_cap: int):
+    """Resolve the binning-mode flags exactly as render_fused applies them
+    (single source; prepare_draw_bins and render_fused both call it).
+    Returns (use_ybounds, flat_slabs, tie_by_id)."""
+    if use_ybounds is None:
+        use_ybounds = tile_h > 8
+    use_ybounds = use_ybounds and tile_h > 8
+    if flat_bins:
+        use_ybounds = False  # flat-mode slab culling is flat_slabs
+    assert not flat_slabs or flat_bins, "flat_slabs requires flat_bins"
+    flat_slabs = flat_slabs and tile_h > 8
+    tie_by_id = use_ybounds or broad_cap > 0 or flat_slabs
+    return use_ybounds, flat_slabs, tie_by_id
+
+
+def prepare_draw_bins(
+    coef, bbox, valid, payload, height: int, width: int,
+    y_offset=0, x_offset=0, *,
+    tile_h: int = DEFAULT_RASTER_OPTS["tile_h"],
+    tile_w: int = DEFAULT_RASTER_OPTS["tile_w"],
+    capacity: int = DEFAULT_RASTER_OPTS["capacity"],
+    small_span: int = DEFAULT_RASTER_OPTS["small_span"],
+    broad_cap: int = DEFAULT_RASTER_OPTS["broad_cap"],
+    shard_budget: int | None = None,
+    pair_budget: int | None = None,
+    flat_bins: bool = False,
+    mid_cap: int | None = None,
+    flat_slabs: bool = False,
+    use_ybounds: bool | None = None,
+):
+    """render_fused's EXACT binning prelude (viewport clip -> optional shard
+    compaction -> bin_triangles / bin_triangles_flat) as a standalone stage.
+
+    render_fused calls this, and so does pipeline.audit_bands — the audit
+    runs THE REAL binning per band instead of a duplicated host-side cost
+    model, so emission changes can never desynchronize audit from production
+    (VERDICT r4 weak #4). Returns (bins, compact_dropped) where bins is a
+    binning.Bins (dense) or binning.FlatBins (flat): bins.overflow counts
+    every capacity/budget/broad/mid drop and compact_dropped the triangles
+    cut by shard_budget compaction."""
+    use_ybounds, flat_slabs, _ = _resolve_bin_mode(
+        tile_h, use_ybounds, flat_bins, flat_slabs, broad_cap)
+    y_off = jnp.asarray(y_offset, I32)
+    x_off = jnp.asarray(x_offset, I32)
+    in_shard = (
+        valid
+        & (bbox[:, 2] >= x_off) & (bbox[:, 0] < x_off + width)
+        & (bbox[:, 3] >= y_off) & (bbox[:, 1] < y_off + height)
+    )
+    local = jnp.stack(
+        [
+            jnp.clip(bbox[:, 0] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 1] - y_off, 0, height - 1),
+            jnp.clip(bbox[:, 2] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 3] - y_off, 0, height - 1),
+        ],
+        axis=-1,
+    )
+
+    compact_dropped = jnp.zeros((), I32)
+    if shard_budget is not None and shard_budget < coef.shape[0]:
+        coef, local, in_shard, payload, compact_dropped = _compact_to_shard(
+            coef, local, in_shard, payload, shard_budget
+        )
+    if pair_budget is not None:
+        # After band compaction the table holds only ~the band's triangles;
+        # a scene-level pair budget would over-gather. 3x the (possibly
+        # compacted) triangle count keeps generous skew headroom — real pairs
+        # are ~1.3x T for tiny-triangle scenes (misses are counted).
+        pair_budget = min(int(pair_budget), 3 * coef.shape[0])
+
+    if flat_bins:
+        assert pair_budget is not None, "flat_bins requires pair_budget"
+        from dtrenderer_tpu.ops.binning import bin_triangles_flat
+
+        fbins = bin_triangles_flat(
+            coef, local, in_shard, height, width,
+            tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+            small_span=small_span, broad_cap=broad_cap,
+            payload=payload, pair_budget=int(pair_budget), mid_cap=mid_cap,
+            n_slabs=(tile_h // 8 if flat_slabs else 1),
+        )
+        return fbins, compact_dropped
+
+    bins = bin_triangles(
+        coef, local, in_shard, height, width,
+        tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+        small_span=small_span, broad_cap=broad_cap,
+        payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
+        pair_budget=pair_budget, mid_cap=mid_cap,
+    )
+    return bins, compact_dropped
 
 
 def render_fused(
@@ -1183,32 +1466,14 @@ def render_fused(
     # y-rank sort + slab-bounds compute are pure overhead — skip them. For
     # multi-slab tiles the default is on (per-slab contiguous slot ranges,
     # cond-free); use_ybounds=False trades the cull away for cheaper binning.
-    if use_ybounds is None:
-        use_ybounds = tile_h > 8
-    use_ybounds = use_ybounds and tile_h > 8
-    if flat_bins:
-        use_ybounds = False  # flat-mode slab culling is flat_slabs
-    assert not flat_slabs or flat_bins, "flat_slabs requires flat_bins"
-    flat_slabs = flat_slabs and tile_h > 8
     # Depth-tie contract (FORMULAS.md): min id wins. Tri-sorted bins order
     # [smalls by id][broads by id], so the cheap slot tie-break only equals
     # min-id when broads cannot exist (broad_cap == 0); otherwise the kernel
     # carries the id channel. Y-sorted bins always need the id channel, and
     # so do slab windows (two-tier emission order is not id order).
-    tie_by_id = use_ybounds or broad_cap > 0 or flat_slabs
-    if batch_rows is None:
-        # Wider shading batches amortize per-batch fixed costs (segment loads,
-        # tap-range reductions); 32 rows is the measured plateau. min(32,
-        # tile_h) always divides the tile's pixel rows.
-        batch_rows = min(32, tile_h)
-    # Snap to a batch that tiles n_pix exactly (handles tile_w != 128 too).
-    n_pix_ = tile_h * tile_w
-    assert n_pix_ % 128 == 0, (
-        f"tile {tile_h}x{tile_w} = {n_pix_} px must be a multiple of 128 "
-        f"(VPU lanes); pick a lane-aligned tile shape")
-    batch_rows = max(1, min(batch_rows, n_pix_ // 128))
-    while n_pix_ % (batch_rows * 128):
-        batch_rows //= 2
+    use_ybounds, flat_slabs, tie_by_id = _resolve_bin_mode(
+        tile_h, use_ybounds, flat_bins, flat_slabs, broad_cap)
+    batch_rows = _norm_batch_rows(batch_rows, tile_h, tile_w)
     # bilinear: False/0 = nearest, True/1 = bilinear, SAMPLE_MIXED (2) = per-
     # triangle choice via the P_FLAGS payload bit 1.
     sampling = int(bilinear)
@@ -1216,64 +1481,29 @@ def render_fused(
 
     y_off = jnp.asarray(y_offset, I32)
     x_off = jnp.asarray(x_offset, I32)
-    in_shard = (
-        valid
-        & (bbox[:, 2] >= x_off) & (bbox[:, 0] < x_off + width)
-        & (bbox[:, 3] >= y_off) & (bbox[:, 1] < y_off + height)
+    bins, compact_dropped = prepare_draw_bins(
+        coef, bbox, valid, payload, height, width, y_offset, x_offset,
+        tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+        small_span=small_span, broad_cap=broad_cap,
+        shard_budget=shard_budget, pair_budget=pair_budget,
+        flat_bins=flat_bins, mid_cap=mid_cap, flat_slabs=flat_slabs,
+        use_ybounds=use_ybounds,
     )
-    local = jnp.stack(
-        [
-            jnp.clip(bbox[:, 0] - x_off, 0, width - 1),
-            jnp.clip(bbox[:, 1] - y_off, 0, height - 1),
-            jnp.clip(bbox[:, 2] - x_off, 0, width - 1),
-            jnp.clip(bbox[:, 3] - y_off, 0, height - 1),
-        ],
-        axis=-1,
-    )
-
-    compact_dropped = jnp.zeros((), I32)
-    if shard_budget is not None and shard_budget < coef.shape[0]:
-        coef, local, in_shard, payload, compact_dropped = _compact_to_shard(
-            coef, local, in_shard, payload, shard_budget
-        )
-    if pair_budget is not None:
-        # After band compaction the table holds only ~the band's triangles;
-        # a scene-level pair budget would over-gather. 3x the (possibly
-        # compacted) triangle count keeps generous skew headroom — real pairs
-        # are ~1.3x T for tiny-triangle scenes (misses are counted).
-        pair_budget = min(int(pair_budget), 3 * coef.shape[0])
 
     if flat_bins:
-        assert pair_budget is not None, "flat_bins requires pair_budget"
-        from dtrenderer_tpu.ops.binning import bin_triangles_flat
-
-        fbins = bin_triangles_flat(
-            coef, local, in_shard, height, width,
-            tile_h=tile_h, tile_w=tile_w, capacity=capacity,
-            small_span=small_span, broad_cap=broad_cap,
-            payload=payload, pair_budget=int(pair_budget), mid_cap=mid_cap,
-            n_slabs=(tile_h // 8 if flat_slabs else 1),
-        )
         offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
         scalars = jnp.asarray(
             [[light_dir[0], light_dir[1], light_dir[2], ambient,
               0.0, 0.0, 0.0, 0.0]], F32
         )
         z, src = _render_from_flat_bins(
-            fbins, offsets, scalars, tex_lut,
+            bins, offsets, scalars, tex_lut,
             height, width, tile_h, tile_w, capacity, sampling, with_phong,
             interpret, chunk, skip_shading, cols, layout,
             batch_rows, tie_by_id, flat_slabs,
         )
-        return z, src, fbins.overflow + compact_dropped
+        return z, src, bins.overflow + compact_dropped
 
-    bins = bin_triangles(
-        coef, local, in_shard, height, width,
-        tile_h=tile_h, tile_w=tile_w, capacity=capacity,
-        small_span=small_span, broad_cap=broad_cap,
-        payload=payload, n_slabs=(tile_h // 8 if use_ybounds else 1),
-        pair_budget=pair_budget, mid_cap=mid_cap,
-    )
     offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
     scalars = jnp.asarray(
         [[light_dir[0], light_dir[1], light_dir[2], ambient,
