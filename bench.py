@@ -279,10 +279,11 @@ def run_ordered_bench(h, w):
     col = (0.8, 0.5, 0.9, 0.5)
     fb0 = fblib.create(h, w)
 
-    _, counters = draw_mesh_ordered(
+    # jit the audit render (eager API calls dispatch per-op — CLAUDE.md);
+    # only the overflow scalar is fetched
+    ov = int(np.asarray(jax.jit(lambda: draw_mesh_ordered(
         fb0, mesh, mdl, proj, light=light, color=col, shading="gouraud",
-        engine="tile", return_counters=True)
-    ov = int(np.asarray(counters.bin_overflow))
+        engine="tile", return_counters=True)[1].bin_overflow)()))
     print(f"bench(ordered): {mesh.num_tris} tris, overflow={ov}",
           file=sys.stderr)
     assert ov == 0, "ordered bin overflow — the blend would be wrong"
@@ -328,11 +329,18 @@ def run_4k_bench():
 
 def run_4k_band8_bench():
     """BASELINE config 5 as 8 sequential horizontal bands on one chip — the
-    per-device work of an 8-row shard (auto shard_budget compaction + per-band
-    binning + kernel), measured, not assumed. Pre-flight: audit_bands (host-
-    side per-band triangle/pair counts vs budgets) AND a render-time overflow
-    fetch (banded tile grids realign per band, which the full-frame audit
-    cannot cover)."""
+    per-device work of an 8-row shard, measured, not assumed. Since round 5
+    the banded flat path uses the SHARED cross-band binning pass
+    (render_fused.render_fused_rowbands): ONE full-frame partition sort whose
+    per-band windows feed all 8 band kernel calls, replacing the 8x
+    compaction+sort+gather redundancy (sum-of-bands 322 -> 227 ms, projected
+    8-chip x5.12 -> x7.16). The sum/8 projection charges each chip 1/8 of
+    the binning, which corresponds to the DISTRIBUTED form of the shared
+    pass (parallel/shard.py distributed_flat_bins: triangle-sliced pair
+    emission + an all_to_all by band — each device sorts/gathers ~1/8 of
+    the pairs; proven bit-exact under shard_map in dryrun scene 8).
+    Pre-flight: audit_bands (runs the REAL shared binning host-side) AND a
+    render-time overflow fetch."""
     from dtrenderer_tpu.models.scenes import make_config5
     from dtrenderer_tpu.ops import fb as fblib
     from dtrenderer_tpu.utils.benchlib import device_time

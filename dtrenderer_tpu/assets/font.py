@@ -34,14 +34,15 @@ class Font(NamedTuple):
     advances: jnp.ndarray | None = None  # f32 [95] per-glyph advance (px), or None
 
 
-def _find_mono_ttf() -> str | None:
+def _find_ttf(family: str = "DejaVu Sans Mono",
+              generic: str = "monospace") -> str | None:
     try:
         import matplotlib.font_manager as fm
 
         candidates = [
             f.fname
             for f in fm.fontManager.ttflist
-            if f.name == "DejaVu Sans Mono" and f.fname.endswith(".ttf")
+            if f.name == family and f.fname.endswith(".ttf")
         ]
         # prefer the regular face over Bold/Oblique variants
         regular = [c for c in candidates
@@ -50,20 +51,34 @@ def _find_mono_ttf() -> str | None:
             return regular[0]
         if candidates:
             return candidates[0]
-        return fm.findfont("monospace")
+        return fm.findfont(generic)
     except Exception:
         return None
 
 
+def _find_mono_ttf() -> str | None:
+    return _find_ttf()
+
+
 @functools.lru_cache(maxsize=8)
-def bake_builtin_font(size: int = 14, prefer_native: bool = True) -> Font:
-    """Bake the default monospace atlas at the given pixel size.
+def bake_builtin_font(size: int = 14, prefer_native: bool = True,
+                      family: str = "mono") -> Font:
+    """Bake the default glyph atlas at the given pixel size.
+
+    family "mono" (default) bakes DejaVu Sans Mono; "sans" bakes the
+    PROPORTIONAL DejaVu Sans — per-glyph advances from the native TTF
+    metrics drive ops/text.draw_text_proportional (the reference's
+    stbtt-baked quads are proportional, SURVEY.md §2 #5 DTRFont metrics).
+    The atlas grid stays uniform cells (cell_w = max glyph width); only the
+    ADVANCES differ, which is exactly the stbtt bake model.
 
     Prefers the from-scratch native TTF rasterizer (native/dtr_font.cpp, the
     stb_truetype-role component); falls back to PIL baking when the native
     library or a TTF file is unavailable.
     """
-    ttf_path = _find_mono_ttf()
+    names = {"mono": ("DejaVu Sans Mono", "monospace"),
+             "sans": ("DejaVu Sans", "sans-serif")}[family]
+    ttf_path = _find_ttf(*names)
     if prefer_native and ttf_path and ttf_path.endswith(".ttf"):
         try:
             from dtrenderer_tpu.assets import native
@@ -78,13 +93,14 @@ def bake_builtin_font(size: int = 14, prefer_native: bool = True) -> Font:
                             advances=jnp.asarray(metrics[:, 0], jnp.float32))
         except Exception:
             pass  # fall through to PIL baking
-    return _bake_with_pil(size)
+    return _bake_with_pil(size, ttf_path)
 
 
-def _bake_with_pil(size: int) -> Font:
+def _bake_with_pil(size: int, ttf: str | None = None) -> Font:
     from PIL import Image, ImageDraw, ImageFont
 
-    ttf = _find_mono_ttf()
+    if ttf is None:
+        ttf = _find_mono_ttf()
     if ttf is not None:
         try:
             pil_font = ImageFont.truetype(ttf, size)

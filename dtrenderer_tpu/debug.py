@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from dtrenderer_tpu.assets.font import Font, bake_builtin_font, encode_text
 from dtrenderer_tpu.ops.fb import Framebuffer
-from dtrenderer_tpu.ops.text import draw_text
+from dtrenderer_tpu.ops.text import draw_text, draw_text_proportional
 
 
 class FrameCounters(NamedTuple):
@@ -50,9 +50,18 @@ class DebugHud:
     Mirrors DTRDebug_PushText + DTRDebug_Update (SURVEY.md §2 #6).
     """
 
-    def __init__(self, font: Font | None = None, scale: int = 1):
+    def __init__(self, font: Font | None = None, scale: int = 1,
+                 proportional: bool = False):
+        """proportional: render pushed lines with the per-glyph native TTF
+        advances (ops/text.draw_text_proportional — the reference's
+        stbtt-metrics text model). The default font is monospace, where
+        proportional placement is identical; pass a "sans" bake
+        (assets.font.bake_builtin_font(family="sans")) for truly proportional
+        text. Counter lines keep monospace-friendly fixed-width layout
+        either way."""
         self.font = font or bake_builtin_font(12)
         self.scale = scale
+        self.proportional = proportional
         self.lines: list[str] = []
         self._last_t = time.perf_counter()
         self.frame_ms = 0.0
@@ -78,8 +87,10 @@ class DebugHud:
                              f"dropped (raise capacity)")
         lines.extend(self.lines)
         self.lines = []
+        draw = (draw_text_proportional if self.proportional
+                and self.font.advances is not None else draw_text)
         y = 4
         for ln in lines:
-            fb = draw_text(fb, self.font, encode_text(ln), (4, y), color, self.scale)
+            fb = draw(fb, self.font, encode_text(ln), (4, y), color, self.scale)
             y += self.font.cell_h * self.scale + 2
         return fb

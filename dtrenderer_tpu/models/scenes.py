@@ -211,6 +211,14 @@ def make_config5(width=3840, height=2160, n_tris=1_000_000, backend="fused",
             opts.update(chunk=32, use_ybounds=False, cols=2, flat_bins=True)
         if opts is not None and extra_opts:
             opts.update(extra_opts)
+        if opts is not None and int(opts.get("row_bands", 1) or 1) > 1:
+            # SHARED cross-band binning covers count banded-grid rows over
+            # the FULL frame, so a triangle straddling a band boundary gains
+            # a row: ~2.4x more triangles cross small_span than unbanded
+            # (59 -> ~143 broads at t=0.5 — caught by bands_audit, round 5).
+            # Broad-block cost scales with the ACTUAL broad count, not the
+            # cap, so headroom is cheap.
+            opts.setdefault("broad_cap", 512)
         return opts
 
     def frame(color, depth, t, y_offset=0, frame_height=None,

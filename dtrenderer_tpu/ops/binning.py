@@ -673,6 +673,183 @@ def bin_triangles_flat(
     )
 
 
+def bin_triangles_flat_distributed(
+    coef,
+    bbox,
+    valid,
+    payload,
+    height: int,
+    width: int,
+    *,
+    tile_h: int,
+    tile_w: int,
+    capacity: int,
+    small_span: int,
+    broad_cap: int,
+    pair_budget: int,
+    row_bands: int,
+    axis_name: str = "rows",
+    mid_cap: int | None = None,
+) -> FlatBins:
+    """SPMD (shard_map) form of the shared cross-band binning: EVERY binning
+    stage scales 1/N across the device mesh, so the banded bench's sum/8
+    projection (each chip charged 1/8 of the binning) describes a real
+    program, not replicated compute.
+
+    Per device d (of N = row_bands, over `axis_name`):
+      1. emit (banded-tile, tri) pairs for its own 1/N TRIANGLE SLICE over
+         the FULL banded grid (same two-tier value-carrying emission as
+         bin_triangles_flat(row_bands=...); values are GLOBAL triangle ids);
+      2. sort its slice's pairs (keys are band-major, so band buckets come
+         out contiguous) and cut one fixed-size bucket per destination band
+         (drops COUNTED, never silent);
+      3. ONE lax.all_to_all over ICI: device b receives every source's
+         band-b bucket (~total_pairs/N values — the only communication);
+      4. sort the received ~pairs/N pairs by tile and prefix-gather rows
+         from the replicated triangle table (a LOCAL gather: the scene is
+         replicated, exactly like the reference's shared-memory threads);
+      5. broads (banded cover > small_span) are found per slice, all_gather
+         merged (they are few), and shared as the usual broad block.
+
+    Returns a FlatBins whose starts/counts cover THIS device's band rows
+    ([ceil(band_h/tile_h), n_tx]) against its LOCAL merged table, ready for
+    _render_from_flat_bins, with overflow = the GLOBAL (psum'd) drop count.
+    Kept-pair sets match bin_triangles_flat(row_bands=...) exactly at zero
+    overflow, so images are identical (depth resolve is order-free; windows
+    are not id-ordered, so the kernel's tie_by_id path is required)."""
+    T = coef.shape[0]
+    P = payload.shape[1]
+    assert 17 + P <= 128, "flat table rows are 128 lanes: [coef16][id][P]"
+    N = row_bands
+    assert height % N == 0, f"row_bands={N} must divide height {height}"
+    band_h = height // N
+    n_tyb = _ceil_div(band_h, tile_h)
+    n_tx = _ceil_div(width, tile_w)
+    tiles_per_band = n_tyb * n_tx
+    n_band_tiles = N * tiles_per_band
+    K = capacity
+    d = jax.lax.axis_index(axis_name)
+    SENT = I32(n_band_tiles)
+
+    # replicated full table (cheap elementwise build; rows 128 lanes wide)
+    idc = jax.lax.bitcast_convert_type(
+        jnp.arange(T, dtype=I32), jnp.float32)[:, None]
+    table = jnp.concatenate(
+        [coef, idc, payload, jnp.zeros((T, 128 - 17 - P), jnp.float32)],
+        axis=1)
+    table = jax.lax.optimization_barrier(table)
+
+    # --- 1. this device's triangle slice ---
+    S0 = _ceil_div(T, N)
+    pad = N * S0 - T
+    bboxp = jnp.pad(bbox, ((0, pad), (0, 0)))
+    validp = jnp.pad(valid, (0, pad))
+    base = d * S0
+    bb = jax.lax.dynamic_slice_in_dim(bboxp, base, S0)
+    vv = jax.lax.dynamic_slice_in_dim(validp, base, S0)
+
+    def brow(y):
+        b = y // band_h
+        return b * n_tyb + (y - b * band_h) // tile_h
+
+    tx0, tx1 = bb[:, 0] // tile_w, bb[:, 2] // tile_w
+    ry0, ry1 = brow(bb[:, 1]), brow(bb[:, 3])
+    span_w = tx1 - tx0 + 1
+    n_cover = jnp.where(vv, span_w * (ry1 - ry0 + 1), 0)
+    small = vv & (n_cover > 0) & (n_cover <= small_span)
+    broad_s = vv & (n_cover > small_span)
+
+    keys, vals, mid_ov = _emit_pair_keys_vals(
+        small, n_cover, tx0, ry0, span_w, S0, n_band_tiles, n_tx,
+        small_span, mid_cap, tier=2)
+    vals = vals + base  # slice-local -> GLOBAL triangle ids
+    keys_s, vals_s = jax.lax.sort((keys, vals), num_keys=1)
+
+    # --- 2. fixed-size per-band buckets of the sorted slice pairs ---
+    bounds = jnp.arange(N + 1, dtype=I32) * I32(tiles_per_band)
+    bstarts = jnp.searchsorted(keys_s, bounds)            # [N + 1]
+    bcounts = (bstarts[1:] - bstarts[:-1]).astype(I32)
+    # expected pairs per (source, dest) bucket ~ total/(N^2); 1.3x headroom
+    S_b = max(128, _ceil_div(-(-13 * int(pair_budget) // 10), N * N)
+              // 128 * 128 + 128)
+    bucket_ov = jnp.sum(jnp.maximum(bcounts - S_b, 0))
+    pk = jnp.concatenate([keys_s, jnp.full((S_b,), SENT, I32)])
+    pv = jnp.concatenate([vals_s, jnp.zeros((S_b,), I32)])
+    st = jnp.minimum(bstarts[:-1], keys_s.shape[0])
+    kb = jax.vmap(lambda s: jax.lax.dynamic_slice(pk, (s,), (S_b,)))(st)
+    vb = jax.vmap(lambda s: jax.lax.dynamic_slice(pv, (s,), (S_b,)))(st)
+    mask = jnp.arange(S_b, dtype=I32)[None, :] < jnp.minimum(bcounts, S_b)[:, None]
+    kb = jnp.where(mask, kb, SENT)
+    vb = jnp.where(mask, vb, 0)
+
+    # --- 3. THE exchange: device b receives every source's band-b bucket ---
+    kx = jax.lax.all_to_all(kb, axis_name, split_axis=0, concat_axis=0)
+    vx = jax.lax.all_to_all(vb, axis_name, split_axis=0, concat_axis=0)
+
+    # --- 4. local merge sort + windows + prefix gather (all ~1/N sized) ---
+    L = N * S_b
+    k2s, v2s = jax.lax.sort((kx.reshape(L), vx.reshape(L)), num_keys=1)
+    tile_bounds = d * I32(tiles_per_band) + jnp.arange(
+        tiles_per_band + 1, dtype=I32)
+    starts = jnp.searchsorted(k2s, tile_bounds)
+    counts_small = (starts[1:] - starts[:-1]).astype(I32)
+
+    is_sent = k2s >= SENT
+    spread = ((jnp.arange(L, dtype=I32) * I32(-1640531527))
+              & I32(0x7FFFFFFF)) % T  # hashed: dup/ascending runs serialize
+    ranks = jnp.where(is_sent, spread, v2s)
+    table_g = table[jnp.minimum(ranks, T - 1)]            # [L, 128]
+    table_g = jnp.concatenate([table_g, jnp.zeros((K, 128), jnp.float32)])
+    starts_c = jnp.minimum(starts[:-1], L)
+    budget_cap = jnp.maximum(L - starts[:-1], 0)
+    cnt = jnp.minimum(jnp.minimum(counts_small, K), budget_cap)
+    small_overflow = jnp.sum(counts_small - cnt)
+
+    Lpad = _ceil_div(L + K + 128, 128) * 128
+    P8 = _ceil_div(P, 8) * 8
+    table_cm = jnp.transpose(table_g[:, 17:17 + P], (1, 0))
+    table_cm = jnp.pad(table_cm,
+                       ((0, P8 - P), (0, Lpad - table_cm.shape[1])))
+
+    # --- 5. broads: per-slice top list, all_gather + merge (few) ---
+    Bc = int(broad_cap)
+    bkey = jnp.where(broad_s, base + jnp.arange(S0, dtype=I32),
+                     jnp.int32(2**31 - 1))
+    btop = (jax.lax.sort(bkey)[:Bc] if S0 >= Bc
+            else jnp.pad(jax.lax.sort(bkey), (0, Bc - S0),
+                         constant_values=2**31 - 1))
+    bg = jax.lax.all_gather(btop, axis_name).reshape(-1)  # [N * Bc]
+    bg = jax.lax.sort(bg)[:Bc]
+    n_broad_total = jax.lax.psum(jnp.sum(broad_s.astype(I32)), axis_name)
+    # slices can individually clip at Bc before the merge; those drops are
+    # inside n_broad_total - n_broad below (merged list keeps the smallest)
+    n_broad = jnp.minimum(n_broad_total, Bc)
+    jb = jnp.arange(Bc, dtype=I32)
+    broad_ids = jnp.where(jb < n_broad, jnp.minimum(bg, T - 1), -1)
+    broad_dropped = n_broad_total - n_broad
+    B_pad = _ceil_div(Bc, 8) * 8
+    broad_rows = jnp.where((broad_ids >= 0)[:, None],
+                           table[jnp.maximum(broad_ids, 0)], 0.0)
+    broad_rows = jnp.pad(broad_rows, ((0, B_pad - Bc), (0, 0)))
+    B_pad128 = _ceil_div(Bc, 128) * 128
+    broad_cm = jnp.pad(jnp.transpose(broad_rows[:Bc, 17:17 + P], (1, 0)),
+                       ((0, 0), (0, B_pad128 - Bc)))
+
+    overflow = (jax.lax.psum(
+        (small_overflow + mid_ov + bucket_ov).astype(I32), axis_name)
+        + broad_dropped.astype(I32))
+    return FlatBins(
+        table=table_g,
+        table_cm=table_cm,
+        starts=starts_c.reshape(n_tyb, n_tx),
+        counts=cnt.reshape(n_tyb, n_tx),
+        broad=broad_rows,
+        broad_cm=broad_cm,
+        n_broad=n_broad,
+        overflow=overflow,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",

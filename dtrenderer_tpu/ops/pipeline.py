@@ -303,6 +303,7 @@ def draw_mesh(
             textured=textured, phong=is_phong,
             corner_rgba_is_q=(_host_white(color)
                               and shading in (SHADING_PHONG, SHADING_NONE)),
+            corner_rgba_mono=_host_gray_opaque(color),
             meta=meta[0],
         )]
         layout = plan_layout(feats, mixed_sampling=False)
@@ -381,6 +382,8 @@ def _render_fused_banded(coef, bbox, valid, payload, tex_lut, light,
     row_bands = int(base_opts.pop("row_bands", 1) or 1)
     band_index = base_opts.pop("band_index", None)
     band_shared = bool(base_opts.pop("band_shared", True))
+    band_distributed = bool(base_opts.pop("band_distributed", False))
+    band_axis = base_opts.pop("band_axis", "rows")
     if row_bands <= 1:
         opts = _with_auto_shard_budget(base_opts, coef.shape[0], h, w, fh, fw)
         return render_fused(
@@ -396,15 +399,27 @@ def _render_fused_banded(coef, bbox, valid, payload, tex_lut, light,
         # call — replaces row_bands separate compaction+sort+gather passes.
         # band_index (traced, from shard_map axis_index) renders ONE band of
         # a full frame fh = h * row_bands; None scans all bands of this fb.
-        from dtrenderer_tpu.ops.render_fused import render_fused_rowbands
+        from dtrenderer_tpu.ops.render_fused import (
+            render_fused_band_distributed, render_fused_rowbands,
+        )
 
         opts = {k: v for k, v in base_opts.items()
                 if k not in ("flat_bins", "use_ybounds", "shard_budget")}
-        full_h = h * row_bands if band_index is not None else h
-        if band_index is not None:
+        one_band = band_index is not None or band_distributed
+        full_h = h * row_bands if one_band else h
+        if one_band:
             assert fh == full_h, (
                 f"band_index render: frame_height {fh} != band_h * "
                 f"row_bands ({full_h})")
+        if band_distributed:
+            # inside shard_map: every binning stage sliced 1/N + all_to_all
+            return render_fused_band_distributed(
+                coef, bbox, valid, payload, tex_lut,
+                light.direction, light.ambient, full_h, w, row_bands,
+                axis_name=band_axis, y_offset=y_offset, x_offset=x_offset,
+                bilinear=bilinear, with_phong=with_phong, layout=layout,
+                **opts,
+            )
         return render_fused_rowbands(
             coef, bbox, valid, payload, tex_lut,
             light.direction, light.ambient, full_h, w, row_bands,
@@ -588,6 +603,7 @@ def draw_mesh_ordered(
             textured=textured, phong=is_phong,
             corner_rgba_is_q=(_host_white(color)
                               and shading in (SHADING_PHONG, SHADING_NONE)),
+            corner_rgba_mono=_host_gray_opaque(color),
             meta=meta[0],
         )], mixed_sampling=False)
         payload = pack_payload(attrs10, layout, meta[0], 0.0)
@@ -729,6 +745,22 @@ def _host_white(color) -> bool:
 
         c = np.asarray(color, dtype=np.float32).reshape(-1)
         return c.shape[0] == 4 and bool(np.all(c == 1.0))
+    except Exception:
+        return False
+
+
+def _host_gray_opaque(color) -> bool:
+    """True when `color` is host-known GRAY with UNIT alpha (r == g == b,
+    a == 1) — the precondition for the mono_rgb payload layout
+    (render_fused.PayloadLayout): corner rgb*q channels are bit-identical
+    (any baked light term is a scalar) and a*q == q exactly. Traced colors
+    conservatively return False."""
+    try:
+        import numpy as np
+
+        c = np.asarray(color, dtype=np.float32).reshape(-1)
+        return (c.shape[0] == 4 and bool(c[0] == c[1] == c[2])
+                and bool(c[3] == 1.0))
     except Exception:
         return False
 
@@ -987,7 +1019,6 @@ def audit_ordered(view_proj, mesh, model, height, width, light=None,
         light = make_light()
     opts = dict(raster_opts or {})
     opts.pop("row_bands", None)  # ordered path never bands
-    opts.pop("chunk", None)      # kernel-only: no effect on bin counts
     tile_h = int(opts.pop("tile_h", 16))
     capacity = int(opts.pop("capacity", 256))
     small_span = int(opts.pop("small_span", 16))
@@ -1204,6 +1235,7 @@ def draw_meshes(
         phong=d.shading == SHADING_PHONG,
         corner_rgba_is_q=(_host_white(d.color)
                           and d.shading in (SHADING_PHONG, SHADING_NONE)),
+        corner_rgba_mono=_host_gray_opaque(d.color),
         meta=m,
     ) for d, m in zip(draws, meta)]
     layout = plan_layout(feats, mixed_sampling=scene_sampling == SAMPLE_MIXED)

@@ -49,7 +49,7 @@ INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _make_ordered_kernel(tile_h: int, capacity: int, tex_lanes: int,
-                         sampling: int, with_phong: bool, chunk: int,
+                         sampling: int, with_phong: bool,
                          layout: PayloadLayout):
     assert not layout.has_flags and not layout.has_texmeta, (
         "ordered draws are single-draw: modes are static, texmeta is const")
@@ -185,7 +185,13 @@ def _make_ordered_kernel(tile_h: int, capacity: int, tex_lanes: int,
 
             qf = interp(0)
             inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
-            if layout.has_rgba:
+            if layout.has_rgba and layout.mono_rgb:
+                # gray corners (render_fused.PayloadLayout mono_rgb): one
+                # channel reconstructs r == g == b; a*q == q (unit alpha)
+                m = interp(layout.off_rgba) * inv_qf
+                r = g = bb = m
+                a = qf * inv_qf
+            elif layout.has_rgba:
                 o = layout.off_rgba
                 r = interp(o) * inv_qf
                 g = interp(o + 1) * inv_qf
@@ -274,11 +280,11 @@ def _make_ordered_kernel(tile_h: int, capacity: int, tex_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "capacity", "sampling",
-                     "with_phong", "interpret", "chunk", "layout"),
+                     "with_phong", "interpret", "layout"),
 )
 def _render_from_ordered_bins(fbins, color, depth, offsets, scalars, tex_lut,
                               height, width, tile_h, capacity, sampling,
-                              with_phong, interpret, chunk,
+                              with_phong, interpret,
                               layout: PayloadLayout):
     counts, starts = fbins.counts, fbins.starts
     n_ty, n_tx = counts.shape
@@ -295,7 +301,7 @@ def _render_from_ordered_bins(fbins, color, depth, offsets, scalars, tex_lut,
         depp.reshape(n_ty, tile_h, n_tx, 128), (0, 2, 1, 3))
 
     kernel = _make_ordered_kernel(tile_h, capacity, tex_lanes, sampling,
-                                  with_phong, chunk, layout)
+                                  with_phong, layout)
     oc, od = pl.pallas_call(
         kernel,
         grid=(n_ty, n_tx),
@@ -341,7 +347,7 @@ def render_ordered(
     tile_h: int = 16, capacity: int = 256, small_span: int = 16,
     broad_cap: int = 128, bilinear: bool = False, with_phong: bool = False,
     layout: PayloadLayout = FULL_LAYOUT, interpret: bool | None = None,
-    pair_budget: int | None = None, chunk: int = 8,
+    pair_budget: int | None = None,
 ):
     """Submission-order draw into (fb_color, fb_depth). Returns
     (color, depth, overflow). Same argument conventions as render_fused;
@@ -387,5 +393,5 @@ def render_ordered(
     color, depth = _render_from_ordered_bins(
         fbins, fb_color, fb_depth, offsets, scalars, tex_lut,
         height, width, tile_h, capacity, sampling, with_phong,
-        interpret, chunk, layout)
+        interpret, layout)
     return color, depth, fbins.overflow

@@ -175,6 +175,11 @@ def plan_layout(draw_feats, mixed_sampling: bool) -> PayloadLayout:
       corner_rgba_is_q: bool (corner rgba*q channels are EXACTLY q: color is
         exactly (1,1,1,1) and the shading mode does not bake lighting into the
         corner colors — phong/none; flat/gouraud always bake),
+      corner_rgba_mono: bool, OPTIONAL (default False) — corner colors are
+        gray with unit alpha (host color r == g == b, a == 1; any shading
+        mode — the baked light term is a scalar, preserving grayness), so
+        the rgba block collapses to one mono channel (PayloadLayout
+        mono_rgb). corner_rgba_is_q draws are trivially mono (mono == 1).
       meta: (base, tw, th) texture placement from make_texture_lut.
     mixed_sampling: scene uses per-triangle nearest/bilinear selection.
     """
@@ -182,6 +187,9 @@ def plan_layout(draw_feats, mixed_sampling: bool) -> PayloadLayout:
     any_phong = any(f["phong"] for f in draw_feats)
     all_phong = all(f["phong"] for f in draw_feats)
     has_rgba = not all(f["corner_rgba_is_q"] for f in draw_feats)
+    mono_rgb = has_rgba and all(
+        f["corner_rgba_is_q"] or f.get("corner_rgba_mono", False)
+        for f in draw_feats)
     has_flags = (mixed_sampling and has_uv) or (any_phong and not all_phong)
     tex_const = None
     has_texmeta = False
@@ -194,6 +202,7 @@ def plan_layout(draw_feats, mixed_sampling: bool) -> PayloadLayout:
     return PayloadLayout(
         has_texmeta=has_texmeta, has_flags=has_flags, has_uv=has_uv,
         has_rgba=has_rgba, has_normals=any_phong, tex_const=tex_const,
+        mono_rgb=mono_rgb,
     )
 
 
@@ -207,7 +216,9 @@ def pack_payload(attrs10, layout: PayloadLayout, meta, flags_value: float):
     if layout.has_uv:
         segs.append(attrs10[:, :, 1:3])
     if layout.has_rgba:
-        segs.append(attrs10[:, :, 3:7])
+        # mono: r == g == b per corner (plan_layout precondition) — ship r*q
+        segs.append(attrs10[:, :, 3:4] if layout.mono_rgb
+                    else attrs10[:, :, 3:7])
     if layout.has_normals:
         segs.append(attrs10[:, :, 7:10])
     corner = jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
@@ -679,7 +690,13 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         qf = interp(0)
         inv_qf = F32(1.0) / jnp.where(qf != 0, qf, F32(1.0))
-        if layout.has_rgba:
+        if layout.has_rgba and layout.mono_rgb:
+            # gray corners: r == g == b (one shipped channel reconstructs all
+            # three bit-exactly) and a*q == q (unit alpha), see PayloadLayout.
+            m = interp(layout.off_rgba) * inv_qf
+            r = g = bcol = m
+            a = qf * inv_qf
+        elif layout.has_rgba:
             o = layout.off_rgba
             r = interp(o) * inv_qf
             g = interp(o + 1) * inv_qf
@@ -1237,6 +1254,103 @@ def render_fused_rowbands(
     return (zs.reshape(height, width),
             srcs.reshape(height, width, srcs.shape[-1]),
             fbins.overflow)
+
+
+def render_fused_band_distributed(
+    coef,
+    bbox,
+    valid,
+    payload,
+    tex_lut,
+    light_dir,
+    ambient,
+    height: int,
+    width: int,
+    row_bands: int,
+    axis_name: str = "rows",
+    y_offset=0,
+    x_offset=0,
+    tile_h: int = DEFAULT_RASTER_OPTS["tile_h"],
+    tile_w: int = DEFAULT_RASTER_OPTS["tile_w"],
+    capacity: int = DEFAULT_RASTER_OPTS["capacity"],
+    small_span: int = DEFAULT_RASTER_OPTS["small_span"],
+    broad_cap: int = DEFAULT_RASTER_OPTS["broad_cap"],
+    bilinear: bool | int = False,
+    with_phong: bool = True,
+    interpret: bool | None = None,
+    chunk: int = CHUNK,
+    skip_shading: bool = False,
+    cols: int = 1,
+    layout: PayloadLayout = FULL_LAYOUT,
+    batch_rows: int | None = None,
+    pair_budget: int | None = None,
+    mid_cap: int | None = None,
+):
+    """One device's band of the DISTRIBUTED shared cross-band binning
+    (binning.bin_triangles_flat_distributed): must run INSIDE a shard_map
+    over `axis_name` with one device per band. Each device emits/sorts pairs
+    for 1/N of the triangles, exchanges band buckets in one all_to_all, and
+    renders its own band from its local merged table — per-device binning
+    cost is ~1/N of the shared single-chip pass, which is what the banded
+    bench's sum/N projection charges. `height` is the FULL frame height;
+    y_offset is this band's GLOBAL offset (axis_index * band_h + frame
+    offset), as parallel/shard.py passes. Returns (z [band_h, w], src,
+    overflow[global, psum'd])."""
+    import jax as _jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert capacity % 128 == 0 and capacity % chunk == 0
+    assert payload.shape[1] == layout.n_payload
+    assert height % row_bands == 0
+    band_h = height // row_bands
+    T = coef.shape[0]
+
+    d = _jax.lax.axis_index(axis_name)
+    y_off = jnp.asarray(y_offset, I32)
+    x_off = jnp.asarray(x_offset, I32)
+    y_frame = y_off - d * band_h  # frame origin (0 for a plain full frame)
+
+    in_shard = (
+        valid
+        & (bbox[:, 2] >= x_off) & (bbox[:, 0] < x_off + width)
+        & (bbox[:, 3] >= y_frame) & (bbox[:, 1] < y_frame + height)
+    )
+    local = jnp.stack(
+        [
+            jnp.clip(bbox[:, 0] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 1] - y_frame, 0, height - 1),
+            jnp.clip(bbox[:, 2] - x_off, 0, width - 1),
+            jnp.clip(bbox[:, 3] - y_frame, 0, height - 1),
+        ],
+        axis=-1,
+    )
+    if pair_budget is None:
+        pair_budget = 3 * T
+    pair_budget = min(int(pair_budget), 3 * T)
+
+    from dtrenderer_tpu.ops.binning import bin_triangles_flat_distributed
+
+    fbins = bin_triangles_flat_distributed(
+        coef, local, in_shard, payload, height, width,
+        tile_h=tile_h, tile_w=tile_w, capacity=capacity,
+        small_span=small_span, broad_cap=broad_cap,
+        pair_budget=int(pair_budget), row_bands=row_bands,
+        axis_name=axis_name, mid_cap=mid_cap,
+    )
+    batch_rows = _norm_batch_rows(batch_rows, tile_h, tile_w)
+    sampling = int(bilinear)
+    scalars = jnp.asarray(
+        [[light_dir[0], light_dir[1], light_dir[2], ambient,
+          0.0, 0.0, 0.0, 0.0]], F32)
+    offsets = jnp.stack([y_off, x_off]).reshape(1, 2)
+    z, src = _render_from_flat_bins(
+        fbins, offsets, scalars, tex_lut,
+        band_h, width, tile_h, tile_w, capacity, sampling, with_phong,
+        interpret, chunk, skip_shading, cols, layout,
+        batch_rows, True, False,
+    )
+    return z, src, fbins.overflow
 
 
 def auto_shard_budget(n_tris: int, n_bands: int, factor: float = 2.5,

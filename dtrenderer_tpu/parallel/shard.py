@@ -92,10 +92,66 @@ def draw_mesh_sharded(fb: Framebuffer, mesh_obj, model, view_proj,
     band_h, band_w = _tile_dims((height, width), device_mesh)
     has_cols = "cols" in device_mesh.shape
 
+    # SHARED cross-band binning (render_fused.render_fused_rowbands): when
+    # the raster opts request row_bands, each device consumes its own band
+    # window of the ONE shared binning table — pass its band index in. The
+    # binning compute is replicated (identical on every chip, so it runs
+    # CONCURRENTLY on real hardware); only the kernel work is per-band.
+    ro = kwargs.get("raster_opts")
+    shared_bands = bool(ro and int(ro.get("row_bands", 1) or 1) > 1
+                        and ro.get("flat_bins")
+                        and ro.get("band_shared", True))
+    if shared_bands:
+        assert not has_cols or device_mesh.shape.get("cols", 1) == 1, (
+            "shared cross-band binning shards rows only")
+        assert int(ro["row_bands"]) == device_mesh.shape["rows"], (
+            f"raster_opts row_bands ({ro['row_bands']}) must equal the mesh "
+            f"rows axis ({device_mesh.shape['rows']})")
+
     def band_fn(color_b, depth_b):
         y0 = jax.lax.axis_index("rows") * band_h
         x0 = jax.lax.axis_index("cols") * band_w if has_cols else 0
+        kw = dict(kwargs)
+        if shared_bands:
+            kw["raster_opts"] = dict(ro, band_index=jax.lax.axis_index("rows"))
         out = pipeline.draw_mesh(
+            Framebuffer(color=color_b, depth=depth_b),
+            mesh_obj, model, view_proj,
+            frame_height=height, frame_width=width, y_offset=y0, x_offset=x0,
+            **kw,
+        )
+        return out.color, out.depth
+
+    cax = ("cols",) if has_cols else ()
+    color, depth = shard_map(
+        band_fn,
+        mesh=device_mesh,
+        in_specs=(P("rows", *cax, None), P("rows", *cax)),
+        out_specs=(P("rows", *cax, None), P("rows", *cax)),
+        check_vma=False,
+    )(fb.color, fb.depth)
+    return Framebuffer(color=color, depth=depth)
+
+
+def draw_mesh_ordered_sharded(fb: Framebuffer, mesh_obj, model, view_proj,
+                              device_mesh: DeviceMesh, **kwargs) -> Framebuffer:
+    """draw_mesh_ordered (reference-order translucent blend + depth write)
+    over a row-/column-sharded framebuffer.
+
+    Pixel ownership is disjoint, so per-tile submission order IS global
+    order: each device blends its band's triangles sequentially via the
+    ordered tile kernel (raster_ordered) with the band's frame offsets, and
+    the assembled image matches the single-device ordered render exactly —
+    the reference's blend semantics survive the framebuffer decomposition
+    (SURVEY.md §2 #4 + P-THREAD)."""
+    height, width = fb.depth.shape
+    band_h, band_w = _tile_dims((height, width), device_mesh)
+    has_cols = "cols" in device_mesh.shape
+
+    def band_fn(color_b, depth_b):
+        y0 = jax.lax.axis_index("rows") * band_h
+        x0 = jax.lax.axis_index("cols") * band_w if has_cols else 0
+        out = pipeline.draw_mesh_ordered(
             Framebuffer(color=color_b, depth=depth_b),
             mesh_obj, model, view_proj,
             frame_height=height, frame_width=width, y_offset=y0, x_offset=x0,

@@ -1018,115 +1018,106 @@ static const uint8_t ZIGZAG[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
-// Fixed-point scaled-integer IDCT: the Loeffler-Ligtenberg-Moshovitz
-// algorithm with 13-bit constants — the same algorithm family as libjpeg's
-// "islow" path, so output matches common decoders to <= 1 LSB (the standard's
-// accuracy requirement). CONST_BITS=13, PASS1_BITS=2.
+// Fixed-point scaled-integer IDCT: the published Loeffler-Ligtenberg-
+// Moshovitz factorization (11 multiplies per 8-point transform) in 13-bit
+// fixed point, so output matches common decoders to <= 1 LSB (the JPEG
+// standard's accuracy requirement).
+//
+// Derivation of the constant set (ck = cos(k*pi/16), R2 = sqrt(2)): the
+// even half is the 4-point IDCT — a trivial {s0 +- s4} butterfly plus the
+// (s2, s6) rotation by R2*c6, factored as one shared product
+// (s2 + s6)*R2*c6 corrected by R2*(c2 - c6) and R2*(c2 + c6). The odd half
+// evaluates the four odd basis sums via pair sums (s1+s7, s5+s3, s7+s3,
+// s5+s1) and the shared corrector (s7+s3 + s5+s1)*R2*c3, with per-input
+// weights R2*(-c1+c3+c5-c7), R2*(c1+c3-c5+c7), R2*(c1+c3+c5-c7),
+// R2*(c1+c3-c5-c7) and pair weights R2*(c3-c7), R2*(c1+c3), R2*(c3+c5),
+// R2*(c3-c5). Each K constant below is round(value * 2^FIX_SHIFT); these
+// are NORMATIVE for <=1-LSB-compatible fixed-point IDCTs.
 namespace jidct_detail {
-constexpr int CONST_BITS = 13, PASS1_BITS = 2;
-constexpr int32_t F_0_298631336 = 2446, F_0_390180644 = 3196,
-                  F_0_541196100 = 4433, F_0_765366865 = 6270,
-                  F_0_899976223 = 7373, F_1_175875602 = 9633,
-                  F_1_501321110 = 12299, F_1_847759065 = 15137,
-                  F_1_961570560 = 16069, F_2_053119869 = 16819,
-                  F_2_562915447 = 20995, F_3_072711026 = 25172;
-static inline int64_t DESCALE(int64_t x, int n) {
+constexpr int FIX_SHIFT = 13;  // fixed-point fraction bits of the constants
+constexpr int COL_SHIFT = 2;   // extra precision carried between the passes
+constexpr int32_t K_R2_M_C1_P_C3_P_C5_M_C7 = 2446;   // 0.298631336
+constexpr int32_t K_R2_C3_M_C5 = 3196;               // 0.390180644
+constexpr int32_t K_R2_C6 = 4433;                    // 0.541196100
+constexpr int32_t K_R2_C2_M_C6 = 6270;               // 0.765366865
+constexpr int32_t K_R2_C3_M_C7 = 7373;               // 0.899976223
+constexpr int32_t K_R2_C3 = 9633;                    // 1.175875602
+constexpr int32_t K_R2_C1_P_C3_M_C5_M_C7 = 12299;    // 1.501321110
+constexpr int32_t K_R2_C2_P_C6 = 15137;              // 1.847759065
+constexpr int32_t K_R2_C3_P_C5 = 16069;              // 1.961570560
+constexpr int32_t K_R2_C1_P_C3_M_C5_P_C7 = 16819;    // 2.053119869
+constexpr int32_t K_R2_C1_P_C3 = 20995;              // 2.562915447
+constexpr int32_t K_R2_C1_P_C3_P_C5_M_C7 = 25172;    // 3.072711026
+
+static inline int64_t round_shift(int64_t x, int n) {
   return (x + ((int64_t)1 << (n - 1))) >> n;
+}
+
+// One 8-point 1D inverse DCT over 64-bit fixed point: s[] holds the
+// frequency samples (already whatever fixed-point scale the pass uses),
+// d[] receives the spatial samples still carrying FIX_SHIFT fraction bits
+// relative to the inputs — callers round_shift to their own precision.
+static inline void idct8(const int64_t s[8], int64_t d[8]) {
+  // even half: {s0, s4} butterfly + the (s2, s6) rotation
+  int64_t rot = (s[2] + s[6]) * K_R2_C6;
+  int64_t ev2 = rot - s[6] * K_R2_C2_P_C6;  // R2*c6*s2 - R2*c2*s6
+  int64_t ev3 = rot + s[2] * K_R2_C2_M_C6;  // R2*c2*s2 + R2*c6*s6
+  int64_t dc = (s[0] + s[4]) << FIX_SHIFT;
+  int64_t nyq = (s[0] - s[4]) << FIX_SHIFT;
+  int64_t e0 = dc + ev3, e3 = dc - ev3;
+  int64_t e1 = nyq + ev2, e2 = nyq - ev2;
+  // odd half: per-input weights + shared pair/quad correctors
+  int64_t o0 = s[7], o1 = s[5], o2 = s[3], o3 = s[1];
+  int64_t p17 = o0 + o3;               // s7 + s1
+  int64_t p53 = o1 + o2;               // s5 + s3
+  int64_t p73 = o0 + o2;               // s7 + s3
+  int64_t p51 = o1 + o3;               // s5 + s1
+  int64_t quad = (p73 + p51) * K_R2_C3;
+  o0 *= K_R2_M_C1_P_C3_P_C5_M_C7;
+  o1 *= K_R2_C1_P_C3_M_C5_P_C7;
+  o2 *= K_R2_C1_P_C3_P_C5_M_C7;
+  o3 *= K_R2_C1_P_C3_M_C5_M_C7;
+  p17 *= -K_R2_C3_M_C7;
+  p53 *= -K_R2_C1_P_C3;
+  p73 = p73 * (-K_R2_C3_P_C5) + quad;
+  p51 = p51 * (-K_R2_C3_M_C5) + quad;
+  o0 += p17 + p73;
+  o1 += p53 + p51;
+  o2 += p53 + p73;
+  o3 += p17 + p51;
+  d[0] = e0 + o3;
+  d[7] = e0 - o3;
+  d[1] = e1 + o2;
+  d[6] = e1 - o2;
+  d[2] = e2 + o1;
+  d[5] = e2 - o1;
+  d[3] = e3 + o0;
+  d[4] = e3 - o0;
 }
 }  // namespace jidct_detail
 
 static void jidct(const int in[64], uint8_t* out, int out_stride) {
   using namespace jidct_detail;
   int64_t ws[64];
-  // pass 1: columns, keep PASS1_BITS of extra precision
+  // pass 1: columns, keeping COL_SHIFT extra fraction bits for pass 2
   for (int c = 0; c < 8; c++) {
     const int* col = in + c;
     int64_t* wsp = ws + c;
-    // even part
-    int64_t z2 = col[2 * 8], z3 = col[6 * 8];
-    int64_t z1 = (z2 + z3) * F_0_541196100;
-    int64_t tmp2 = z1 + z3 * (-F_1_847759065);
-    int64_t tmp3 = z1 + z2 * F_0_765366865;
-    z2 = col[0 * 8];
-    z3 = col[4 * 8];
-    int64_t tmp0 = (z2 + z3) << CONST_BITS;
-    int64_t tmp1 = (z2 - z3) << CONST_BITS;
-    int64_t t10 = tmp0 + tmp3, t13 = tmp0 - tmp3;
-    int64_t t11 = tmp1 + tmp2, t12 = tmp1 - tmp2;
-    // odd part
-    tmp0 = col[7 * 8];
-    tmp1 = col[5 * 8];
-    tmp2 = col[3 * 8];
-    tmp3 = col[1 * 8];
-    z1 = tmp0 + tmp3;
-    z2 = tmp1 + tmp2;
-    z3 = tmp0 + tmp2;
-    int64_t z4 = tmp1 + tmp3;
-    int64_t z5 = (z3 + z4) * F_1_175875602;
-    tmp0 *= F_0_298631336;
-    tmp1 *= F_2_053119869;
-    tmp2 *= F_3_072711026;
-    tmp3 *= F_1_501321110;
-    z1 *= -F_0_899976223;
-    z2 *= -F_2_562915447;
-    z3 = z3 * (-F_1_961570560) + z5;
-    z4 = z4 * (-F_0_390180644) + z5;
-    tmp0 += z1 + z3;
-    tmp1 += z2 + z4;
-    tmp2 += z2 + z3;
-    tmp3 += z1 + z4;
-    wsp[8 * 0] = DESCALE(t10 + tmp3, CONST_BITS - PASS1_BITS);
-    wsp[8 * 7] = DESCALE(t10 - tmp3, CONST_BITS - PASS1_BITS);
-    wsp[8 * 1] = DESCALE(t11 + tmp2, CONST_BITS - PASS1_BITS);
-    wsp[8 * 6] = DESCALE(t11 - tmp2, CONST_BITS - PASS1_BITS);
-    wsp[8 * 2] = DESCALE(t12 + tmp1, CONST_BITS - PASS1_BITS);
-    wsp[8 * 5] = DESCALE(t12 - tmp1, CONST_BITS - PASS1_BITS);
-    wsp[8 * 3] = DESCALE(t13 + tmp0, CONST_BITS - PASS1_BITS);
-    wsp[8 * 4] = DESCALE(t13 - tmp0, CONST_BITS - PASS1_BITS);
+    int64_t s[8], d[8];
+    for (int k = 0; k < 8; k++) s[k] = col[k * 8];
+    idct8(s, d);
+    for (int k = 0; k < 8; k++)
+      wsp[8 * k] = round_shift(d[k], FIX_SHIFT - COL_SHIFT);
   }
-  // pass 2: rows, final descale + level shift + clamp
+  // pass 2: rows — final descale (the transform's 1/8 normalization rides
+  // the +3), level shift + clamp to u8
   for (int r = 0; r < 8; r++) {
     const int64_t* row = ws + r * 8;
     uint8_t* o = out + r * out_stride;
-    int64_t z2 = row[2], z3 = row[6];
-    int64_t z1 = (z2 + z3) * F_0_541196100;
-    int64_t tmp2 = z1 + z3 * (-F_1_847759065);
-    int64_t tmp3 = z1 + z2 * F_0_765366865;
-    z2 = row[0];
-    z3 = row[4];
-    int64_t tmp0 = (z2 + z3) << CONST_BITS;
-    int64_t tmp1 = (z2 - z3) << CONST_BITS;
-    int64_t t10 = tmp0 + tmp3, t13 = tmp0 - tmp3;
-    int64_t t11 = tmp1 + tmp2, t12 = tmp1 - tmp2;
-    tmp0 = row[7];
-    tmp1 = row[5];
-    tmp2 = row[3];
-    tmp3 = row[1];
-    z1 = tmp0 + tmp3;
-    z2 = tmp1 + tmp2;
-    z3 = tmp0 + tmp2;
-    int64_t z4 = tmp1 + tmp3;
-    int64_t z5 = (z3 + z4) * F_1_175875602;
-    tmp0 *= F_0_298631336;
-    tmp1 *= F_2_053119869;
-    tmp2 *= F_3_072711026;
-    tmp3 *= F_1_501321110;
-    z1 *= -F_0_899976223;
-    z2 *= -F_2_562915447;
-    z3 = z3 * (-F_1_961570560) + z5;
-    z4 = z4 * (-F_0_390180644) + z5;
-    tmp0 += z1 + z3;
-    tmp1 += z2 + z4;
-    tmp2 += z2 + z3;
-    tmp3 += z1 + z4;
-    const int fin = CONST_BITS + PASS1_BITS + 3;
-    int64_t v[8] = {
-        DESCALE(t10 + tmp3, fin), DESCALE(t11 + tmp2, fin),
-        DESCALE(t12 + tmp1, fin), DESCALE(t13 + tmp0, fin),
-        DESCALE(t13 - tmp0, fin), DESCALE(t12 - tmp1, fin),
-        DESCALE(t11 - tmp2, fin), DESCALE(t10 - tmp3, fin)};
+    int64_t d[8];
+    idct8(row, d);
     for (int x = 0; x < 8; x++) {
-      int q = (int)v[x] + 128;
+      int q = (int)round_shift(d[x], FIX_SHIFT + COL_SHIFT + 3) + 128;
       o[x] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
     }
   }

@@ -53,6 +53,23 @@ def _render_cases():
     # (SAMPLE_MIXED + per-triangle flag bits — the hardest payload layout).
     yield "mixed_sampling_shading", _render_mixed(fblib, pack_srgb_u8)
 
+    # Proportional text (native TTF per-glyph advances, sans family) next to
+    # the monospace grid — locks the round-5 proportional device path.
+    yield "text_proportional", _render_text_prop(fblib, pack_srgb_u8)
+
+
+def _render_text_prop(fblib, pack_srgb_u8):
+    from dtrenderer_tpu.assets.font import bake_builtin_font, encode_text
+    from dtrenderer_tpu.ops.text import draw_text, draw_text_proportional
+
+    fb = fblib.clear(fblib.create(72, 256),
+                     jnp.asarray([0.05, 0.05, 0.1, 1.0], jnp.float32))
+    sans = bake_builtin_font(16, family="sans")
+    codes = encode_text("iiii WWWW .oO")
+    fb = draw_text(fb, sans, codes, (4, 4), (1, 1, 1, 1))
+    fb = draw_text_proportional(fb, sans, codes, (4, 30), (1, 1, 0.7, 1))
+    return np.asarray(pack_srgb_u8(fb.color))
+
 
 def _render_mixed(fblib, pack_srgb_u8):
     from dtrenderer_tpu.models import primitives

@@ -6,6 +6,7 @@ with its chosen raster_opts. This caught real silent drops in early soup tuning.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dtrenderer_tpu.models import primitives
@@ -149,3 +150,52 @@ def test_overflow_flows_out_of_jitted_production_path():
 
     _, counters3 = frame3(fb0.color, fb0.depth)
     assert int(counters3.bin_overflow) == 0
+
+
+@pytest.mark.parametrize("mode", ["legacy_dense", "legacy_flat", "shared"])
+def test_audit_bands_agrees_with_render_time_overflow(mode):
+    """audit_bands runs THE REAL binning with THE SAME per-band opts the
+    banded render derives (render_fused.prepare_draw_bins +
+    pipeline._legacy_band_opts / the shared bin_triangles_flat(row_bands=)),
+    so audit verdict and render-time overflow must agree EXACTLY — for a
+    clean budget and for a deliberately starved one, in every banded mode.
+    This test breaks the moment the audit and the render path desynchronize
+    (VERDICT r4 weak #4)."""
+    import functools
+
+    import jax
+
+    from dtrenderer_tpu.models import scenes
+    from dtrenderer_tpu.ops import fb as fblib
+
+    h, w, n_tris, n_bands = 128, 256, 2000, 8
+    base = dict(tile_h=8, capacity=512, small_span=8, chunk=8, cols=1)
+    if mode == "legacy_dense":
+        # flat_bins=False overrides make_config5's production default so the
+        # DENSE per-band path runs (otherwise the shared path would ignore
+        # shard_budget). ~1000 tris survive backface culling -> ~125+/band:
+        # budget 32 starves the compaction.
+        base = dict(base, flat_bins=False)
+        cases = [dict(base), dict(base, shard_budget=32)]
+    elif mode == "legacy_flat":
+        base = dict(base, flat_bins=True, band_shared=False)
+        cases = [dict(base, pair_budget=8192), dict(base, pair_budget=1024)]
+    else:
+        base = dict(base, flat_bins=True)
+        cases = [dict(base, pair_budget=8192),
+                 dict(base, pair_budget=1024, capacity=128)]
+
+    for extra in cases:
+        spec = scenes.make_config5(width=w, height=h, n_tris=n_tris,
+                                   extra_opts=dict(extra, row_bands=n_bands))
+        rep = spec.bands_audit(n_bands)
+        fb0 = fblib.create(h, w)
+        _, _, ov = jax.jit(functools.partial(
+            spec.frame, return_counters=True))(fb0.color, fb0.depth,
+                                               jnp.float32(0.5))
+        ov = int(np.asarray(ov))
+        assert rep["ok"] == (ov == 0), (
+            f"audit ok={rep['ok']} but render overflow={ov} ({mode}, "
+            f"{extra}): audit and render have desynchronized — {rep}")
+        # the starved case must actually exercise the disagreement risk
+    assert not rep["ok"], f"the starved case should overflow ({mode})"

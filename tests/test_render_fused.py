@@ -48,6 +48,26 @@ def test_fused_matches_ref_cube(shading, sampl):
     )
 
 
+def test_fused_mono_rgb_gray_matches_ref():
+    """The mono_rgb payload layout (gray opaque color -> ONE mono channel
+    instead of 4 rgba) must stay byte-exact vs the full-layout ref backend,
+    textured and untextured, gouraud and flat."""
+    tex = primitives.checkerboard(16, 4)
+    gray = (0.6, 0.6, 0.6, 1.0)
+    for shading, t in (("gouraud", tex), ("flat", None), ("gouraud", None)):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.05, 0.02, 0.1, 1], jnp.float32))
+        a = draw_mesh(fb, primitives.cube(), MODEL, PROJ, texture=t,
+                      color=gray, light=LIGHT, shading=shading,
+                      backend="ref")
+        b = draw_mesh(fb, primitives.cube(), MODEL, PROJ, texture=t,
+                      color=gray, light=LIGHT, shading=shading,
+                      backend="fused", raster_opts=dict(capacity=128))
+        assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth))
+        assert np.array_equal(np.asarray(pack_srgb_u8(a.color)),
+                              np.asarray(pack_srgb_u8(b.color))), shading
+
+
 def test_fused_matches_ref_sphere_no_texture():
     a = _run(primitives.uv_sphere(8, 12), "ref", "phong", "nearest", None)
     b = _run(primitives.uv_sphere(8, 12), "fused", "phong", "nearest", None)
@@ -132,6 +152,27 @@ def test_payload_layout_planner():
     assert lay.has_texmeta and lay.has_flags and lay.tex_const is None
     assert lay == FULL_LAYOUT
     assert lay.n_payload == PAYLOAD_CHANNELS
+
+    # mono rgb (round 5): GRAY opaque gouraud draws ship ONE mono channel
+    # instead of 4 rgba — the config-5 textured white-gouraud case
+    lay = plan_layout([dict(textured=True, phong=False,
+                            corner_rgba_is_q=False, corner_rgba_mono=True,
+                            meta=(0, 64, 64))], mixed_sampling=False)
+    assert lay.has_rgba and lay.mono_rgb and lay.rgba_channels == 1
+    assert lay.n_payload == 3 * (1 + 2 + 1)  # q, uv, mono per corner
+    # a corner_rgba_is_q draw mixes into a mono scene (mono == 1 exactly);
+    # a non-gray draw forces the full rgba block back
+    lay = plan_layout([dict(textured=False, phong=False,
+                            corner_rgba_is_q=False, corner_rgba_mono=True,
+                            meta=(0, 1, 1)),
+                       dict(textured=False, phong=True,
+                            corner_rgba_is_q=True, meta=(0, 1, 1))],
+                      mixed_sampling=False)
+    assert lay.mono_rgb and lay.rgba_channels == 1
+    lay = plan_layout([dict(textured=False, phong=False,
+                            corner_rgba_is_q=False, corner_rgba_mono=False,
+                            meta=(0, 1, 1))], mixed_sampling=False)
+    assert lay.has_rgba and not lay.mono_rgb and lay.rgba_channels == 4
 
 
 def test_fused_single_slab_tile_matches_ref():

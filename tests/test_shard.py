@@ -172,3 +172,90 @@ def test_shard_budget_overflow_counted():
                                       shard_budget=128),
                      return_counters=True)
     assert int(counters.bin_overflow) > 0
+
+
+def test_shared_crossband_binning_sharded_matches_single():
+    """Scene-level coverage for the round-5 SHARED cross-band binning: one
+    full-frame partition sort (bin_triangles_flat(row_bands=N)) whose
+    per-band windows feed each device's kernel via raster_opts band_index.
+    Must equal both the per-band-binning sharded render (bit-exact: same
+    depth/shading contracts) and the single-device frame (packed u8 — cross
+    program shapes, CLAUDE.md)."""
+    from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+    h, w = 128, 128
+    rows = 8
+    soup = primitives.random_triangle_soup(4_000, rng_seed=13, extent=1.4)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.6), m3.rotate_y(0.3)))
+    dmesh = shard.make_mesh(frames=1, rows=rows)
+    base = dict(tile_h=8, capacity=512, small_span=8, flat_bins=True,
+                pair_budget=4 * 4_000)
+
+    def run(o):
+        fb = shard.create_sharded_fb(h, w, dmesh)
+        out = jax.jit(lambda f: shard.draw_mesh_sharded(
+            f, soup, mdl, proj, device_mesh=dmesh, shading="gouraud",
+            near_clip=False, backend="fused", raster_opts=o))(fb)
+        return np.asarray(out.color)
+
+    shared = run(dict(base, row_bands=rows))
+    per_band = run(base)
+    assert np.array_equal(shared, per_band), (
+        "shared-table sharded render != per-band binning sharded render")
+
+    # DISTRIBUTED shared binning: 1/N triangle-sliced emission + one
+    # all_to_all of band buckets + local merge/gather per device
+    # (binning.bin_triangles_flat_distributed) — the program the banded
+    # bench's sum/N projection describes. Kept-pair sets equal the shared
+    # pass at zero overflow, so the image must be bit-exact.
+    distributed = run(dict(base, row_bands=rows, band_distributed=True))
+    assert np.array_equal(distributed, shared), (
+        "distributed cross-band binning != shared-table render")
+
+    single = draw_mesh(fblib.create(h, w), soup, mdl, proj, shading="gouraud",
+                       near_clip=False, backend="fused", raster_opts=base)
+    assert np.array_equal(
+        np.asarray(pack_srgb_u8(jnp.asarray(shared))),
+        np.asarray(pack_srgb_u8(single.color)))
+
+
+def test_ordered_translucent_sharded_matches_single():
+    """The reference's sequential blend semantics survive the framebuffer
+    decomposition: a TRANSLUCENT mesh drawn via draw_mesh_ordered_sharded
+    (per-band ordered tile kernels with frame offsets) equals the
+    single-device ordered render — pixel ownership is disjoint, so per-band
+    submission order IS global order (VERDICT r4 missing #1)."""
+    from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
+    from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+    h, w = 128, 128
+    rows = 8
+    mesh = primitives.uv_sphere(12, 16)
+    proj = jnp.asarray(m3.perspective(np.pi / 3, w / h, 0.1, 100.0))
+    mdl = jnp.asarray(m3.model_matrix((0, 0, -2.6), m3.rotate_y(0.4), 1.3))
+    col = (0.8, 0.5, 0.9, 0.5)
+    dmesh = shard.make_mesh(frames=1, rows=rows)
+    opts = dict(tile_h=16, capacity=512)
+
+    fb = shard.create_sharded_fb(h, w, dmesh)
+    out = jax.jit(lambda f: shard.draw_mesh_ordered_sharded(
+        f, mesh, mdl, proj, device_mesh=dmesh, color=col, shading="gouraud",
+        engine="tile", raster_opts=opts))(fb)
+
+    # The reference render takes its y_offset as a TRACED argument: on CPU
+    # interpret mode, a CONCRETE offset lets XLA constant-fold the kernel's
+    # off_ref reads and reassociate the downstream f32 arithmetic (~1-2 ulp
+    # diffs vs the runtime-offset program); with both sides traced — exactly
+    # what shard_map's axis_index forces — the images are BIT-exact. On real
+    # hardware offsets are SMEM runtime inputs either way.
+    single, counters = jax.jit(lambda y0: draw_mesh_ordered(
+        fblib.create(h, w), mesh, mdl, proj, color=col, shading="gouraud",
+        engine="tile", raster_opts=opts, y_offset=y0,
+        return_counters=True))(jnp.int32(0))
+    assert int(np.asarray(counters.bin_overflow)) == 0
+    assert np.array_equal(np.asarray(out.color), np.asarray(single.color))
+    assert np.array_equal(np.asarray(out.depth), np.asarray(single.depth))
+    # the blend really happened (translucent over background != background)
+    assert not np.array_equal(np.asarray(out.color),
+                              np.asarray(shard.create_sharded_fb(h, w, dmesh).color))

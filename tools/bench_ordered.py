@@ -50,10 +50,14 @@ def main():
     # overflow audit for the tile engine settings
     from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered as dmo
 
+    # live knobs only: tile_h/capacity shape the windows, small_span the
+    # emission (the ordered kernel walks one triangle per step — it has no
+    # chunk parameter; a dead "chunk" sweep here once produced placebo
+    # variants, VERDICT r4 weak #3)
     for name, opts in [
         ("tile t16 c256", dict(tile_h=16, capacity=256)),
-        ("tile t16 c256 chunk16", dict(tile_h=16, capacity=256, chunk=16)),
-        ("tile t32 c384 chunk16", dict(tile_h=32, capacity=384, chunk=16)),
+        ("tile t8 c256", dict(tile_h=8, capacity=256)),
+        ("tile t32 c384", dict(tile_h=32, capacity=384)),
     ]:
         _, c = dmo(fb0, mesh, mdl, proj, light=light, color=col,
                    shading="gouraud", engine="tile", raster_opts=opts,

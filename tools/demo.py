@@ -106,6 +106,9 @@ def main():
     tex = primitives.checkerboard(64, 8, (1.0, 0.85, 0.3, 1.0), (0.15, 0.15, 0.5, 1.0))
     grad = primitives.gradient_texture(64)
     hud = DebugHud(bake_builtin_font(14))
+    # proportional footer: per-glyph advances from the native TTF metrics
+    # (the reference's stbtt text model, SURVEY.md §2 #5)
+    sans_font = bake_builtin_font(16, family="sans")
 
     # The whole frame is ONE jitted function of (state, t) — the DTR_Update analog:
     # traced once, replayed per frame; state pytree flows through.
@@ -128,6 +131,13 @@ def main():
         hud.end_frame_timing()
         hud.push_text("dtrenderer_tpu demo  backend=%s" % args.backend)
         state = state._replace(fb=hud.render(state.fb, counters))
+        from dtrenderer_tpu.ops.text import draw_text_proportional
+
+        fb2 = draw_text_proportional(
+            state.fb, sans_font,
+            encode_text("Proportional text: iiii WWWW (native TTF metrics)"),
+            (8, args.h - sans_font.cell_h - 6), (1.0, 0.95, 0.7, 1.0))
+        state = state._replace(fb=fb2)
         img = np.asarray(api.finish_frame(state))
         dt = (time.perf_counter() - t0) * 1000
         print(f"frame {i}: {dt:8.1f} ms  ({args.w}x{args.h})")
