@@ -576,10 +576,23 @@ def draw_mesh_ordered(
         mvp = mat4mul(view_proj, model)
 
     if engine == "auto":
-        from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+        from dtrenderer_tpu.ops.render_fused import TEX_LUT_MAX_TEXELS
 
+        # The ordered tile kernel's VMEM footprint is small (one double-
+        # buffered channel-major window + the fb tile — no dense setup
+        # blocks), so it runs textures up to the full LUT ceiling (8 MB =
+        # 2x the fused path's TEX_BUDGET_TEXELS auto-fallback): measured on
+        # chip, a 512x512-texture 5k-tri translucent draw runs the tile
+        # engine at 20.2 ms vs the scan's ~59 ms (~3x; see ARCHITECTURE.md
+        # "Texture routing" for why wide LUTs slow the per-step fetch). Beyond
+        # the LUT ceiling the O(T) scan remains the exact fallback — a
+        # documented decision (ARCHITECTURE.md "Ordered translucency"):
+        # per-triangle texel-window DMA was evaluated and rejected because
+        # a minified/global-uv triangle's texel window is unbounded, so a
+        # windowed kernel cannot keep the blend exact without a per-draw
+        # fallback to scan anyway.
         big_tex = (int(texture.shape[0]) * int(texture.shape[1])
-                   > TEX_BUDGET_TEXELS)
+                   > TEX_LUT_MAX_TEXELS)
         engine = "scan" if big_tex else "tile"
     assert engine in ("tile", "scan"), f"unknown ordered engine {engine!r}"
 

@@ -239,30 +239,48 @@ def test_draw_meshes_interleaved_opaque_translucent_opaque():
     assert np.array_equal(np.asarray(fb_a.depth), np.asarray(fb_b.depth))
 
 
-def test_ordered_auto_engine_big_texture_routes_to_scan():
-    """engine="auto" must fall back to the scan engine when the texture
-    exceeds the tile kernel's VMEM LUT budget (TEX_BUDGET_TEXELS). Raw f32
+def test_ordered_auto_engine_texture_routing():
+    """engine="auto": textures beyond the full VMEM LUT ceiling
+    (TEX_LUT_MAX_TEXELS) fall back to the exact scan engine; textures between
+    the FUSED path's conservative budget and the ceiling stay on the tile
+    engine (the ordered kernel's VMEM footprint is small, round 5). Raw f32
     output of the two engines differs by XLA FMA contraction, so BITWISE f32
-    equality with a forced engine="scan" proves the auto route took scan."""
+    equality with a forced engine proves which route auto took."""
     mesh = _two_overlapping_tris()
     mdl = jnp.asarray(m3.model_matrix((0, 0, -1.5)))
     proj = jnp.asarray(m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
-    from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+    from dtrenderer_tpu.ops.render_fused import (
+        TEX_BUDGET_TEXELS, TEX_LUT_MAX_TEXELS,
+    )
 
-    side = int(np.sqrt(TEX_BUDGET_TEXELS)) + 8  # just over budget
-    big_tex = jnp.broadcast_to(
-        jnp.linspace(0.1, 0.9, side, dtype=jnp.float32)[None, :, None],
-        (side, side, 4))
+    def make_tex(side):
+        return jnp.broadcast_to(
+            jnp.linspace(0.1, 0.9, side, dtype=jnp.float32)[None, :, None],
+            (side, side, 4))
 
-    def run(engine):
+    def run(engine, tex):
         fb = fblib.clear(fblib.create(H, W), jnp.asarray(CLEAR, jnp.float32))
-        return draw_mesh_ordered(fb, mesh, mdl, proj, texture=big_tex,
+        return draw_mesh_ordered(fb, mesh, mdl, proj, texture=tex,
                                  color=(0.9, 0.5, 0.4, 0.5), shading="none",
                                  engine=engine)
 
-    auto, scan = run("auto"), run("scan")
+    # over the LUT ceiling -> scan
+    huge = make_tex(int(np.sqrt(TEX_LUT_MAX_TEXELS)) + 8)
+    auto, scan = run("auto", huge), run("scan", huge)
     assert np.array_equal(np.asarray(auto.color), np.asarray(scan.color))
     assert np.array_equal(np.asarray(auto.depth), np.asarray(scan.depth))
+
+    # between the fused budget and the ceiling -> tile (round-5 lift)
+    mid = make_tex(int(np.sqrt(TEX_BUDGET_TEXELS)) + 8)
+    auto_m, tile_m = run("auto", mid), run("tile", mid)
+    assert np.array_equal(np.asarray(auto_m.color), np.asarray(tile_m.color))
+    assert np.array_equal(np.asarray(auto_m.depth), np.asarray(tile_m.depth))
+    # and the tile engine's blend is still exact vs the scan at packed u8
+    from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+    scan_m = run("scan", mid)
+    assert np.array_equal(np.asarray(pack_srgb_u8(tile_m.color)),
+                          np.asarray(pack_srgb_u8(scan_m.color)))
 
 
 def test_audit_ordered_preflight():

@@ -269,6 +269,41 @@ def main():
     check("fused/flat-slab-parity(hw)", flat_slab_parity)
     check("ordered-tile-vs-scan(hw)", ordered_parity)
 
+    # 9. ordered tile kernel with a BIG (over the fused budget, within the
+    # 8 MB LUT ceiling) texture: the round-5 auto-route lift keeps such
+    # draws on the tile engine — must compile and match the scan on chip.
+    def ordered_big_lut():
+        from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
+        from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+        from dtrenderer_tpu.utils.color import pack_srgb_u8
+
+        ph, pw = 64, 128
+        pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
+        soup = primitives.random_triangle_soup(300, rng_seed=9, extent=1.0)
+        mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
+        big = primitives.checkerboard(512, 32)  # 262144 texels > fused budget
+        assert big.shape[0] * big.shape[1] > TEX_BUDGET_TEXELS
+        pfb = fblib.create(ph, pw)
+        clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
+
+        def run(engine):
+            @jax.jit
+            def f(color, depth):
+                fb = fblib.clear(fblib.Framebuffer(color, depth), clear)
+                return draw_mesh_ordered(
+                    fb, soup, mdl, pproj, texture=big, light=light,
+                    color=(0.8, 0.5, 0.4, 0.55), shading="gouraud",
+                    sampling_mode="bilinear", near_clip=False, engine=engine)
+            return jax.block_until_ready(f(pfb.color, pfb.depth))
+
+        a, b = run("scan"), run("auto")  # auto must take the tile engine
+        ua = np.asarray(pack_srgb_u8(a.color)).astype(np.int32)
+        ub = np.asarray(pack_srgb_u8(b.color)).astype(np.int32)
+        bad = (np.abs(ua - ub) > 0).sum()
+        assert bad == 0, f"{bad} u8 channels diverge (big-LUT ordered)"
+
+    check("ordered-big-lut(hw)", ordered_big_lut)
+
     from dtrenderer_tpu.utils import hwgate
 
     stamp = hwgate.write_stamp()
