@@ -274,15 +274,20 @@ def main():
     # draws on the tile engine — must compile and match the scan on chip.
     def ordered_big_lut():
         from dtrenderer_tpu.ops.pipeline import draw_mesh_ordered
-        from dtrenderer_tpu.ops.render_fused import TEX_BUDGET_TEXELS
+        from dtrenderer_tpu.ops.render_fused import (TEX_BUDGET_TEXELS,
+                                                     TEX_LUT_MAX_TEXELS)
         from dtrenderer_tpu.utils.color import pack_srgb_u8
 
         ph, pw = 64, 128
         pproj = jnp.asarray(m3.perspective(np.pi / 3, pw / ph, 0.1, 100.0))
         soup = primitives.random_triangle_soup(300, rng_seed=9, extent=1.0)
         mdl = jnp.asarray(m3.model_matrix((0, 0, -2.2), m3.rotate_y(0.4)))
-        big = primitives.checkerboard(512, 32)  # 262144 texels > fused budget
-        assert big.shape[0] * big.shape[1] > TEX_BUDGET_TEXELS
+        # 704^2 = 495616 texels: strictly over the fused path's 256K budget
+        # (512^2 sits exactly AT it and routes small) and under the 512K
+        # ordered-LUT ceiling, so auto must take the tile engine.
+        big = primitives.checkerboard(704, 32)
+        n_texels = big.shape[0] * big.shape[1]
+        assert TEX_BUDGET_TEXELS < n_texels <= TEX_LUT_MAX_TEXELS
         pfb = fblib.create(ph, pw)
         clear = jnp.asarray([0.03, 0.03, 0.06, 1], jnp.float32)
 
