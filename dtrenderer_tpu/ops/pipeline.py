@@ -272,7 +272,7 @@ def draw_mesh(
                 if k not in ("chunk", "cols", "skip_shading", "shard_budget",
                              "use_ybounds", "batch_rows", "pair_budget",
                              "flat_bins", "row_bands", "mid_cap",
-                             "flat_slabs")
+                             "flat_slabs", "slot_k")
             }
 
     if mvp is None:
@@ -814,6 +814,7 @@ def audit_scene(view_proj, draws, height, width, light=None,
     opts.pop("skip_shading", None)
     opts.pop("use_ybounds", None)  # capacity counts don't depend on bin order
     opts.pop("batch_rows", None)
+    opts.pop("slot_k", None)  # phase-2 gather width: no effect on bin counts
     opts.pop("shard_budget", None)  # audits the FULL (uncompacted) scene
     flat = bool(opts.pop("flat_bins", None))
     # flat_slabs bins at 8-row-slab granularity with PER-SLAB capacity: the
@@ -919,7 +920,7 @@ def audit_bands(view_proj, draws, height, width, n_bands: int, light=None,
     base = dict(raster_opts or {})
     # kernel-only keys: no effect on bin counts
     for k in ("chunk", "cols", "batch_rows", "skip_shading", "use_ybounds",
-              "row_bands", "band_index"):
+              "row_bands", "band_index", "slot_k"):
         base.pop(k, None)
     band_shared = bool(base.pop("band_shared", True))
     for k, v in DEFAULT_RASTER_OPTS.items():

@@ -38,6 +38,7 @@ Packed setup channel layout (C = 17 + n_payload; binning packs
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,7 +52,22 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 CHUNK = 8
+# Phase-2 slot-gather block width: each fori_loop step gathers SLOT_K
+# consecutive 128-slot chunks (independent gathers merged by disjoint masks —
+# bit-exact for any value). The loop carries `vals`, so its iteration count is
+# a SERIAL dependency chain; winner slots span ~900 counts per 4096-px batch
+# at config-5 scale (~8 chunks), and the mono_rgb wash showed the chain, not
+# the per-channel work, is phase-2's wall (ARCHITECTURE.md "Phase-2
+# attribution") — SLOT_K trades chain length for per-step work.
+SLOT_K = 1
 INT_MAX = jnp.iinfo(jnp.int32).max
+
+# Phase-2 ablation hook for profiling ONLY (tools/sweep_slot_k.py --ablate):
+# "no_gather" skips the winner-slot gather loop (vals seeded from b0 so the
+# interp/shading chain cannot constant-fold away); "gather1" forces every
+# winner to slot 0 (exactly one chunk iteration). Renders garbage — never set
+# outside stage-attribution runs.
+_ABLATE_PHASE2 = os.environ.get("DTR_ABLATE_PHASE2", "")
 
 
 class PayloadLayout(NamedTuple):
@@ -253,7 +269,8 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                  layout: PayloadLayout = FULL_LAYOUT,
                  use_ybounds: bool = True, batch_rows: int = 8,
                  tie_by_id: bool = True, flat: bool = False,
-                 flat_slabs: bool = False):
+                 flat_slabs: bool = False, slot_k: int = SLOT_K):
+    assert slot_k >= 1
     n_pix = tile_h * tile_w
     batch_px = batch_rows * 128
     assert n_pix % batch_px == 0, "tile must hold whole shading batches"
@@ -629,13 +646,18 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
 
         # Winner slots within a batch are spatially coherent: loop only the
         # dynamic [min, max] 128-slot chunk range actually referenced.
-        vals = tuple(jnp.zeros((batch_rows, 128), F32)
-                     for _ in range(n_payload))
+        if _ABLATE_PHASE2 == "no_gather":
+            vals = tuple(b0 for _ in range(n_payload))
+        else:
+            vals = tuple(jnp.zeros((batch_rows, 128), F32)
+                         for _ in range(n_payload))
+        if _ABLATE_PHASE2 == "gather1":
+            sl = jnp.zeros_like(sl)
         if flat_ctx is None:
             sl_c = jnp.clip(sl, 0, capacity - 1)
             reader = lambda p, start: payload_t_ref[0, gcol, p:p + 1,
                                                     pl.ds(start, 128)]
-            sources = [(sl_c, reader)]
+            sources = [(sl_c, reader, capacity // 128)]
         else:
             # Flat bins: small winners gather from their slab window's DMA'd
             # channel-major block (lane = delta + local slot; the window
@@ -651,33 +673,51 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
                 lo = s * capacity
                 in_w = (sl >= lo) & (sl < lo + capacity)
                 idx_s = jnp.where(in_w, sl - lo + delta_f[s], neg)
+                # window lane dim is capacity + 128 (the 128-aligned row
+                # offset's delta rides the lanes) -> one extra chunk.
                 sources.append(
                     (idx_s, lambda p, start, s=s: scr_cm[gcol, s, p:p + 1,
-                                                         pl.ds(start, 128)]))
+                                                         pl.ds(start, 128)],
+                     capacity // 128 + 1))
             idx_b = jnp.where(sl >= n_win * capacity,
                               sl - n_win * capacity, neg)
             sources.append(
                 (idx_b, lambda p, start: broad_cm_ref[p:p + 1,
-                                                      pl.ds(start, 128)]))
+                                                      pl.ds(start, 128)],
+                 broad_cm_ref.shape[-1] // 128))
 
-        for idx, reader in sources:
+        if _ABLATE_PHASE2 == "no_gather":
+            sources = []
+        for idx, reader, n_chunks in sources:
             valid_i = idx >= 0
             jmin = jnp.min(jnp.where(valid_i, idx, INT_MAX)) // 128
             jmax = jnp.max(jnp.where(valid_i, idx, -1)) // 128
 
-            def gather_chunk(j, vals, idx=idx, reader=reader):
-                start = pl.multiple_of(j * 128, 128)
-                loc = idx - j * 128
-                sel = (loc >= 0) & (loc < 128)
-                loc = jnp.clip(loc, 0, 127)
-                out = []
-                for p in range(n_payload):
-                    seg = jnp.broadcast_to(reader(p, start),
-                                           (batch_rows, 128))
-                    out.append(jnp.where(sel, _gather128(seg, loc), vals[p]))
+            def gather_block(jb, vals, idx=idx, reader=reader,
+                             n_chunks=n_chunks):
+                # slot_k consecutive chunks per step: the k gathers are
+                # independent (pipelineable) and their sel masks disjoint
+                # (one winner slot per lane), so the merge order is
+                # irrelevant — bit-exact for any slot_k. Block alignment can
+                # reach up to slot_k - 1 chunks past jmax: clamp the READ to
+                # the block's last real chunk (sel, computed from the
+                # unclamped chunk index, is all-false there).
+                out = list(vals)
+                for s in range(slot_k):
+                    j = jb * slot_k + s
+                    j_rd = jnp.minimum(j, n_chunks - 1) if slot_k > 1 else j
+                    start = pl.multiple_of(j_rd * 128, 128)
+                    loc = idx - j * 128
+                    sel = (loc >= 0) & (loc < 128)
+                    loc = jnp.clip(loc, 0, 127)
+                    for p in range(n_payload):
+                        seg = jnp.broadcast_to(reader(p, start),
+                                               (batch_rows, 128))
+                        out[p] = jnp.where(sel, _gather128(seg, loc), out[p])
                 return tuple(out)
 
-            vals = jax.lax.fori_loop(jmin, jmax + 1, gather_chunk, vals)
+            vals = jax.lax.fori_loop(jmin // slot_k, jmax // slot_k + 1,
+                                     gather_block, vals)
 
         c0 = layout.c0
         stride = layout.corner_stride
@@ -870,7 +910,7 @@ def _make_kernel(tile_h: int, tile_w: int, capacity: int, tex_lanes: int,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
                      "skip_shading", "cols", "layout", "use_ybounds",
-                     "batch_rows", "tie_by_id"),
+                     "batch_rows", "tie_by_id", "slot_k"),
 )
 def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       height, width, tile_h, tile_w, capacity,
@@ -878,7 +918,8 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
                       skip_shading=False, cols=1,
                       layout: PayloadLayout = FULL_LAYOUT,
                       use_ybounds: bool = True, slab_bounds=None,
-                      batch_rows: int = 8, tie_by_id: bool = True):
+                      batch_rows: int = 8, tie_by_id: bool = True,
+                      slot_k: int = SLOT_K):
     n_ty, n_tx = counts.shape
     n_pix = tile_h * tile_w
     tex_lanes = tex_lut.shape[1]
@@ -903,7 +944,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
 
     kernel = _make_kernel(tile_h, tile_w, capacity, tex_lanes, sampling,
                           with_phong, chunk, skip_shading, cols, layout,
-                          use_ybounds, batch_rows, tie_by_id)
+                          use_ybounds, batch_rows, tie_by_id, slot_k=slot_k)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -957,7 +998,7 @@ def _render_from_bins(setup, counts, offsets, scalars, tex_lut,
     static_argnames=("height", "width", "tile_h", "tile_w", "capacity",
                      "sampling", "with_phong", "interpret", "chunk",
                      "skip_shading", "cols", "layout", "batch_rows",
-                     "tie_by_id", "flat_slabs"),
+                     "tie_by_id", "flat_slabs", "slot_k"),
 )
 def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
                            height, width, tile_h, tile_w, capacity,
@@ -965,7 +1006,7 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
                            skip_shading=False, cols=1,
                            layout: PayloadLayout = FULL_LAYOUT,
                            batch_rows: int = 8, tie_by_id: bool = True,
-                           flat_slabs: bool = False):
+                           flat_slabs: bool = False, slot_k: int = SLOT_K):
     """Flat-bins variant of _render_from_bins: no dense [tiles, K, C] setup —
     the kernel DMAs each tile's contiguous row range from the sorted-prefix
     table in HBM (binning.FlatBins) and walks the shared broad block from
@@ -999,7 +1040,7 @@ def _render_from_flat_bins(fbins, offsets, scalars, tex_lut,
                           with_phong, chunk, skip_shading, cols, layout,
                           use_ybounds=False, batch_rows=batch_rows,
                           tie_by_id=tie_by_id, flat=True,
-                          flat_slabs=flat_slabs)
+                          flat_slabs=flat_slabs, slot_k=slot_k)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
         pl.BlockSpec(memory_space=pltpu.SMEM),   # starts
@@ -1136,6 +1177,7 @@ def render_fused_rowbands(
     batch_rows: int | None = None,
     pair_budget: int | None = None,
     mid_cap: int | None = None,
+    slot_k: int = SLOT_K,
 ):
     """Banded fused draw with ONE SHARED cross-band binning pass.
 
@@ -1234,7 +1276,7 @@ def render_fused_rowbands(
             fb_b, offs, scalars, tex_lut,
             band_h, width, tile_h, tile_w, capacity, sampling, with_phong,
             interpret, chunk, skip_shading, cols, layout,
-            batch_rows, True, False,
+            batch_rows, True, False, slot_k=slot_k,
         )
 
     if band_index is not None:
@@ -1285,6 +1327,7 @@ def render_fused_band_distributed(
     batch_rows: int | None = None,
     pair_budget: int | None = None,
     mid_cap: int | None = None,
+    slot_k: int = SLOT_K,
 ):
     """One device's band of the DISTRIBUTED shared cross-band binning
     (binning.bin_triangles_flat_distributed): must run INSIDE a shard_map
@@ -1348,7 +1391,7 @@ def render_fused_band_distributed(
         fbins, offsets, scalars, tex_lut,
         band_h, width, tile_h, tile_w, capacity, sampling, with_phong,
         interpret, chunk, skip_shading, cols, layout,
-        batch_rows, True, False,
+        batch_rows, True, False, slot_k=slot_k,
     )
     return z, src, fbins.overflow
 
@@ -1533,6 +1576,7 @@ def render_fused(
     flat_bins: bool = False,
     mid_cap: int | None = None,
     flat_slabs: bool = False,
+    slot_k: int = SLOT_K,
 ):
     """Fused visibility+shading draw. Returns (z [H,W], src color [H,W,4],
     overflow i32 scalar).
@@ -1614,7 +1658,7 @@ def render_fused(
             bins, offsets, scalars, tex_lut,
             height, width, tile_h, tile_w, capacity, sampling, with_phong,
             interpret, chunk, skip_shading, cols, layout,
-            batch_rows, tie_by_id, flat_slabs,
+            batch_rows, tie_by_id, flat_slabs, slot_k=slot_k,
         )
         return z, src, bins.overflow + compact_dropped
 
@@ -1627,6 +1671,6 @@ def render_fused(
         bins.setup, bins.counts, offsets, scalars, tex_lut,
         height, width, tile_h, tile_w, capacity, sampling, with_phong,
         interpret, chunk, skip_shading, cols, layout, use_ybounds,
-        bins.slab_bounds, batch_rows, tie_by_id,
+        bins.slab_bounds, batch_rows, tie_by_id, slot_k=slot_k,
     )
     return z, src, bins.overflow + compact_dropped

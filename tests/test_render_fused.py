@@ -586,6 +586,48 @@ def test_fused_flat_bins_image_identical(opts):
     assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
 
 
+@pytest.mark.parametrize("opts", [
+    dict(capacity=256),                                    # dense setup path
+    dict(tile_h=32, capacity=256, small_span=4, broad_cap=64,
+         pair_budget=4096, flat_bins=True),                # flat single window
+    dict(tile_h=32, capacity=256, small_span=16, broad_cap=128,
+         pair_budget=16384, flat_bins=True, flat_slabs=True,
+         mid_cap=512),                                     # slab windows (n_win=4)
+    dict(tile_h=32, capacity=256, small_span=16, broad_cap=128,
+         pair_budget=16384, flat_bins=True, row_bands=2),  # shared banded path
+])
+def test_fused_slot_k_image_identical(opts):
+    """Phase-2 slot-gather block width (slot_k) is bit-exact by construction
+    (disjoint per-chunk masks, one winner slot per lane) — verify against the
+    k=1 reference on every phase-2 source kind: the dense payload block, the
+    flat window (lane offset delta), slab windows, and the broad block.
+    k=3 does not divide typical chunk counts, so it exercises the clamped
+    over-the-end block reads too."""
+    soup = primitives.random_triangle_soup(1_200, rng_seed=31, extent=1.1)
+    floor_v = np.array([[-8, -8, -1.0], [8, -8, -1.0], [0, 8, -1.0]],
+                       np.float32)
+    import dtrenderer_tpu.models.mesh as meshlib
+
+    floor = meshlib.make_mesh(floor_v)  # broad triangle (shared broad block)
+    tex = primitives.checkerboard(16, 4)
+
+    def run(o):
+        fb = fblib.clear(fblib.create(H, W),
+                         jnp.asarray([0.02, 0.02, 0.05, 1], jnp.float32))
+        fb = draw_mesh(fb, floor, MODEL, PROJ, color=(0.3, 0.5, 0.2, 1.0),
+                       shading="none", backend="fused", raster_opts=o,
+                       cull_backfaces=False)
+        return draw_mesh(fb, soup, MODEL, PROJ, texture=tex, light=LIGHT,
+                         shading="gouraud", sampling_mode="bilinear",
+                         backend="fused", raster_opts=o)
+
+    a = run(dict(opts, slot_k=1))
+    for k in (3, 4):
+        b = run(dict(opts, slot_k=k))
+        assert np.array_equal(np.asarray(a.depth), np.asarray(b.depth)), k
+        assert np.array_equal(np.asarray(a.color), np.asarray(b.color)), k
+
+
 def test_flat_binning_matches_dense_sets():
     """bin_triangles_flat's per-tile ranges must carry the same id sets and
     counts as the dense bins' small prefixes, and the same broad list."""
