@@ -56,9 +56,12 @@ CHUNK = 8
 # consecutive 128-slot chunks (independent gathers merged by disjoint masks —
 # bit-exact for any value). The loop carries `vals`, so its iteration count is
 # a SERIAL dependency chain; winner slots span ~900 counts per 4096-px batch
-# at config-5 scale (~8 chunks), and the mono_rgb wash showed the chain, not
-# the per-channel work, is phase-2's wall (ARCHITECTURE.md "Phase-2
-# attribution") — SLOT_K trades chain length for per-step work.
+# at config-5 scale (~8 chunks) — SLOT_K trades chain length for per-step
+# work. MEASURED A WASH on chip (tools/sweep_slot_k.py, round 5: 203.0 /
+# 203.3 / 204.1 / 205.3 ms at k=1/2/4/8, config-5 full frame): Mosaic already
+# overlaps the chunk iterations, so widening the block only adds clamp/mask
+# work. Keep k=1; see ARCHITECTURE.md "Phase-2 attribution" for where the
+# time actually sits (ablation numbers).
 SLOT_K = 1
 INT_MAX = jnp.iinfo(jnp.int32).max
 

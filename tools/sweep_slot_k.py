@@ -1,10 +1,13 @@
 """Sweep the phase-2 slot-gather block width (render_fused slot_k) at
 config-5 scale on the real chip.
 
-Phase-2's ~53 ms winner-slot loop is bound by its serial per-128-slot-chunk
-fori iterations (ARCHITECTURE.md "Phase-2 attribution"); slot_k widens each
-iteration to k independent chunk gathers. This sweep measures the full-frame
-config-5 time per k. Usage: timeout 3600 python tools/sweep_slot_k.py
+slot_k widens each winner-slot fori iteration to k independent chunk
+gathers, testing the serial-chain hypothesis for phase-2's ~53 ms. RESULT
+(round 5, on chip): a WASH — 203.0/203.3/204.1/205.3 ms at k=1/2/4/8.
+Mosaic already overlaps the chunk iterations; don't re-sweep unless the
+kernel's gather structure changes. Usage:
+timeout 3600 python tools/sweep_slot_k.py  (or --ablate for the phase-2
+stage attribution: full vs gather1 vs no_gather).
 """
 
 import os
